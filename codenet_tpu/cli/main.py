@@ -1,0 +1,90 @@
+"""FP32 training CLI (reference main.py:19-102).
+
+seed -> dataset -> heads -> model -> Adam -> epoch loop with val/checkpoint
+and step-LR decay (x0.1 at each lr_step epoch, reference main.py:91-97).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .. import config as cfg
+from ..data.datasets import get_dataset
+from ..data.loader import DataLoader
+from ..engine import checkpoint
+from ..engine.trainer import Trainer
+from ..utils.logger import Logger
+
+
+def run_training(opt, qspec=None, load_fp32_then_quantize=False):
+    np.random.seed(opt.seed)
+    Dataset = get_dataset(opt.dataset, opt.task)
+    opt = cfg.update_dataset_info_and_set_heads(
+        opt, cfg.DATASET_SPECS[opt.dataset])
+    print(opt.heads)
+    logger = Logger(opt)
+
+    trainer = Trainer(opt, qspec=qspec)
+    trainer.init()
+
+    start_epoch = 0
+    if opt.load_model:
+        trainer.variables, ckpt_epoch, payload = checkpoint.load_model(
+            opt.load_model, trainer.variables)
+        if opt.resume:
+            start_epoch = ckpt_epoch
+            lr = checkpoint.resume_lr(opt.lr, opt.lr_step, start_epoch)
+            trainer.set_lr(lr)
+            print("Resumed optimizer with start lr", lr)
+
+    train_loader = DataLoader(Dataset(opt, "train"), opt.batch_size,
+                              shuffle=True, num_workers=opt.num_workers,
+                              seed=opt.seed)
+    val_loader = DataLoader(Dataset(opt, "val"), 1, shuffle=False,
+                            num_workers=1)
+
+    best = 1e10
+    save_dir = opt.save_dir
+    os.makedirs(save_dir, exist_ok=True)
+    for epoch in range(start_epoch + 1, opt.num_epochs + 1):
+        log_dict = trainer.train(epoch, train_loader)
+        logger.write("epoch: {} |".format(epoch))
+        for k, v in log_dict.items():
+            logger.scalar_summary("train_{}".format(k), v, epoch)
+            logger.write("{} {:8f} | ".format(k, v))
+        if opt.val_intervals > 0 and epoch % opt.val_intervals == 0:
+            checkpoint.save_model(
+                os.path.join(save_dir, "model_best.ckpt"), epoch,
+                trainer.variables)
+            val_dict = trainer.val(epoch, val_loader)
+            for k, v in val_dict.items():
+                logger.scalar_summary("val_{}".format(k), v, epoch)
+                logger.write("{} {:8f} | ".format(k, v))
+            if val_dict[opt.metric] < best:
+                best = val_dict[opt.metric]
+                checkpoint.save_model(
+                    os.path.join(save_dir, "model_best.ckpt"), epoch,
+                    trainer.variables)
+        checkpoint.save_model(os.path.join(save_dir, "model_last.ckpt"),
+                              epoch, trainer.variables, trainer.opt_state)
+        logger.write("\n")
+        if epoch in opt.lr_step:
+            checkpoint.save_model(
+                os.path.join(save_dir, "model_{}.ckpt".format(epoch)),
+                epoch, trainer.variables, trainer.opt_state)
+            lr = opt.lr * (0.1 ** (opt.lr_step.index(epoch) + 1))
+            print("Drop LR to", lr)
+            trainer.set_lr(lr)
+    logger.close()
+    return trainer
+
+
+def main(argv=None):
+    opt = cfg.parse(argv)
+    return run_training(opt)
+
+
+if __name__ == "__main__":
+    main()

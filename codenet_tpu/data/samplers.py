@@ -1,0 +1,333 @@
+"""Per-task target-generation samplers (host numpy; cheap vs TPU compute).
+
+Each sampler mixin provides `get_sample(index) -> dict of numpy arrays` —
+fixed-shape targets ready to batch and feed the jitted train step. Port of
+reference lib/datasets/sample/ctdet.py:30-146 (and siblings); cv2 does the
+image IO/warp exactly as the reference so geometry parity holds.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from .affine import (affine_transform, draw_dense_reg, draw_msra_gaussian,
+                     draw_umich_gaussian, gaussian_radius,
+                     get_affine_transform)
+from .image_aug import color_aug
+
+
+def coco_box_to_bbox(box):
+    return np.array([box[0], box[1], box[0] + box[2], box[1] + box[3]],
+                    dtype=np.float32)
+
+
+def get_border(border, size):
+    """Random-crop border heuristic (reference sample/ctdet.py:24-28)."""
+    i = 1
+    while size - border // i <= border // i:
+        i *= 2
+    return border // i
+
+
+class CTDetSampler:
+    """2D-box detection targets (reference sample/ctdet.py:30-146)."""
+
+    def _load_image_anns(self, index):
+        img_id = self.images[index]
+        file_name = self.coco.loadImgs(ids=[img_id])[0]["file_name"]
+        img_path = os.path.join(self.img_dir, file_name)
+        ann_ids = self.coco.getAnnIds(imgIds=[img_id])
+        anns = self.coco.loadAnns(ids=ann_ids)
+        img = cv2.imread(img_path)
+        return img_id, img, anns
+
+    def get_sample(self, index):
+        img_id, img, anns = self._load_image_anns(index)
+        num_objs = min(len(anns), self.max_objs)
+
+        height, width = img.shape[0], img.shape[1]
+        c = np.array([width / 2.0, height / 2.0], dtype=np.float32)
+        if self.opt.keep_res:
+            input_h = (height | self.opt.pad) + 1
+            input_w = (width | self.opt.pad) + 1
+            s = np.array([input_w, input_h], dtype=np.float32)
+        else:
+            s = max(height, width) * 1.0
+            input_h, input_w = self.opt.input_h, self.opt.input_w
+
+        flipped = False
+        if self.split == "train":
+            if not self.opt.not_rand_crop:
+                s = s * np.random.choice(np.arange(0.6, 1.4, 0.1))
+                w_border = get_border(128, width)
+                h_border = get_border(128, height)
+                c[0] = np.random.randint(low=w_border, high=width - w_border)
+                c[1] = np.random.randint(low=h_border, high=height - h_border)
+            else:
+                sf = self.opt.scale
+                cf = self.opt.shift
+                c[0] += s * np.clip(np.random.randn() * cf, -2 * cf, 2 * cf)
+                c[1] += s * np.clip(np.random.randn() * cf, -2 * cf, 2 * cf)
+                s = s * np.clip(np.random.randn() * sf + 1, 1 - sf, 1 + sf)
+            if np.random.random() < self.opt.flip:
+                flipped = True
+                img = img[:, ::-1, :]
+                c[0] = width - c[0] - 1
+
+        trans_input = get_affine_transform(c, s, 0, [input_w, input_h])
+        inp = cv2.warpAffine(img, np.asarray(trans_input),
+                             (input_w, input_h), flags=cv2.INTER_LINEAR)
+        inp = inp.astype(np.float32) / 255.0
+        if self.split == "train" and not self.opt.no_color_aug:
+            color_aug(self._data_rng, inp, self._eig_val, self._eig_vec)
+        inp = (inp - self.mean) / self.std  # stays HWC (NHWC pipeline)
+
+        output_h = input_h // self.opt.down_ratio
+        output_w = input_w // self.opt.down_ratio
+        num_classes = self.num_classes
+        trans_output = get_affine_transform(c, s, 0, [output_w, output_h])
+
+        hm = np.zeros((output_h, output_w, num_classes), dtype=np.float32)
+        wh = np.zeros((self.max_objs, 2), dtype=np.float32)
+        dense_wh = np.zeros((output_h, output_w, 2), dtype=np.float32)
+        reg = np.zeros((self.max_objs, 2), dtype=np.float32)
+        ind = np.zeros((self.max_objs,), dtype=np.int64)
+        reg_mask = np.zeros((self.max_objs,), dtype=np.uint8)
+        cat_spec_wh = np.zeros((self.max_objs, num_classes * 2),
+                               dtype=np.float32)
+        cat_spec_mask = np.zeros((self.max_objs, num_classes * 2),
+                                 dtype=np.uint8)
+
+        # reference draws on (C, H, W); we draw per-class 2D slices
+        draw_gaussian = draw_msra_gaussian if self.opt.mse_loss \
+            else draw_umich_gaussian
+
+        gt_det = []
+        for k in range(num_objs):
+            ann = anns[k]
+            bbox = coco_box_to_bbox(ann["bbox"])
+            cls_id = int(self.cat_ids[ann["category_id"]])
+            if flipped:
+                bbox[[0, 2]] = width - bbox[[2, 0]] - 1
+            bbox[:2] = affine_transform(bbox[:2], trans_output)
+            bbox[2:] = affine_transform(bbox[2:], trans_output)
+            bbox[[0, 2]] = np.clip(bbox[[0, 2]], 0, output_w - 1)
+            bbox[[1, 3]] = np.clip(bbox[[1, 3]], 0, output_h - 1)
+            h, w = bbox[3] - bbox[1], bbox[2] - bbox[0]
+            if h > 0 and w > 0:
+                radius = gaussian_radius((math.ceil(h), math.ceil(w)))
+                radius = max(0, int(radius))
+                radius = self.opt.hm_gauss if self.opt.mse_loss else radius
+                ct = np.array([(bbox[0] + bbox[2]) / 2,
+                               (bbox[1] + bbox[3]) / 2], dtype=np.float32)
+                ct_int = ct.astype(np.int32)
+                hm_slice = np.ascontiguousarray(hm[:, :, cls_id])
+                draw_gaussian(hm_slice, ct_int, radius)
+                hm[:, :, cls_id] = hm_slice
+                wh[k] = 1.0 * w, 1.0 * h
+                ind[k] = ct_int[1] * output_w + ct_int[0]
+                reg[k] = ct - ct_int
+                reg_mask[k] = 1
+                cat_spec_wh[k, cls_id * 2: cls_id * 2 + 2] = wh[k]
+                cat_spec_mask[k, cls_id * 2: cls_id * 2 + 2] = 1
+                if self.opt.dense_wh:
+                    dw = np.transpose(dense_wh, (2, 0, 1)).copy()
+                    draw_dense_reg(dw, hm.max(axis=2), ct_int, wh[k], radius)
+                    dense_wh = np.transpose(dw, (1, 2, 0))
+                gt_det.append([ct[0] - w / 2, ct[1] - h / 2,
+                               ct[0] + w / 2, ct[1] + h / 2, 1, cls_id])
+
+        ret = {"input": inp.astype(np.float32), "hm": hm,
+               "reg_mask": reg_mask, "ind": ind, "wh": wh}
+        if self.opt.dense_wh:
+            hm_a = hm.max(axis=2, keepdims=True)
+            ret.update({"dense_wh": dense_wh,
+                        "dense_wh_mask": np.concatenate([hm_a, hm_a],
+                                                        axis=2)})
+            del ret["wh"]
+        elif self.opt.cat_spec_wh:
+            ret.update({"cat_spec_wh": cat_spec_wh,
+                        "cat_spec_mask": cat_spec_mask})
+            del ret["wh"]
+        if self.opt.reg_offset:
+            ret.update({"reg": reg})
+        if self.opt.debug > 0 or not self.split == "train":
+            gt_det = np.array(gt_det, dtype=np.float32) if len(gt_det) > 0 \
+                else np.zeros((1, 6), dtype=np.float32)
+            ret["meta"] = {"c": c, "s": s, "gt_det": gt_det,
+                           "img_id": img_id}
+        return ret
+
+
+class DddSampler:
+    """KITTI 3D targets (reference sample/ddd.py:28-172)."""
+
+    # default calibration used when an image carries none
+    calib = np.array([[707.0493, 0, 604.0814, 45.75831],
+                      [0, 707.0493, 180.5066, -0.3454157],
+                      [0, 0, 1.0, 0.004981016]], dtype=np.float32)
+    alpha_in_degree = False
+
+    def _convert_alpha(self, alpha):
+        return math.radians(alpha + 45) if self.alpha_in_degree else alpha
+
+    def _alpha_to_8(self, alpha):
+        """2-bin orientation encoding (reference sample/ddd.py:160-171)."""
+        ret = [0, 0, 0, 1, 0, 0, 0, 1]
+        if alpha < np.pi / 6.0 or alpha > 5 * np.pi / 6.0:
+            r = alpha - (-0.5 * np.pi)
+            ret[1] = 1
+            ret[2], ret[3] = np.sin(r), np.cos(r)
+        if alpha > -np.pi / 6.0 or alpha < -5 * np.pi / 6.0:
+            r = alpha - (0.5 * np.pi)
+            ret[5] = 1
+            ret[6], ret[7] = np.sin(r), np.cos(r)
+        return ret
+
+    def get_sample(self, index):
+        img_id = self.images[index]
+        img_info = self.coco.loadImgs(ids=[img_id])[0]
+        img_path = os.path.join(self.img_dir, img_info["file_name"])
+        img = cv2.imread(img_path)
+        calib = np.array(img_info["calib"], dtype=np.float32) \
+            if "calib" in img_info else self.calib
+
+        height, width = img.shape[0], img.shape[1]
+        c = np.array([width / 2.0, height / 2.0])
+        if self.opt.keep_res:
+            s = np.array([self.opt.input_w, self.opt.input_h],
+                         dtype=np.int32)
+        else:
+            s = np.array([width, height], dtype=np.int32)
+
+        aug = False
+        if self.split == "train" and np.random.random() < self.opt.aug_ddd:
+            aug = True
+            sf, cf = self.opt.scale, self.opt.shift
+            s = s * np.clip(np.random.randn() * sf + 1, 1 - sf, 1 + sf)
+            c[0] += width * np.clip(np.random.randn() * cf, -2 * cf, 2 * cf)
+            c[1] += height * np.clip(np.random.randn() * cf, -2 * cf, 2 * cf)
+
+        trans_input = get_affine_transform(
+            c, s, 0, [self.opt.input_w, self.opt.input_h])
+        inp = cv2.warpAffine(img, np.asarray(trans_input),
+                             (self.opt.input_w, self.opt.input_h),
+                             flags=cv2.INTER_LINEAR)
+        inp = (inp.astype(np.float32) / 255.0 - self.mean) / self.std
+
+        num_classes = self.opt.num_classes
+        out_w, out_h = self.opt.output_w, self.opt.output_h
+        trans_output = get_affine_transform(c, s, 0, [out_w, out_h])
+
+        hm = np.zeros((out_h, out_w, num_classes), dtype=np.float32)
+        wh = np.zeros((self.max_objs, 2), dtype=np.float32)
+        reg = np.zeros((self.max_objs, 2), dtype=np.float32)
+        dep = np.zeros((self.max_objs, 1), dtype=np.float32)
+        rotbin = np.zeros((self.max_objs, 2), dtype=np.int64)
+        rotres = np.zeros((self.max_objs, 2), dtype=np.float32)
+        dim = np.zeros((self.max_objs, 3), dtype=np.float32)
+        ind = np.zeros((self.max_objs,), dtype=np.int64)
+        reg_mask = np.zeros((self.max_objs,), dtype=np.uint8)
+        rot_mask = np.zeros((self.max_objs,), dtype=np.uint8)
+
+        anns = self.coco.loadAnns(self.coco.getAnnIds(imgIds=[img_id]))
+        num_objs = min(len(anns), self.max_objs)
+        draw_gaussian = draw_msra_gaussian if self.opt.mse_loss \
+            else draw_umich_gaussian
+        gt_det = []
+        for k in range(num_objs):
+            ann = anns[k]
+            bbox = coco_box_to_bbox(ann["bbox"])
+            cls_id = int(self.cat_ids[ann["category_id"]])
+            if cls_id <= -99:
+                continue
+            bbox[:2] = affine_transform(bbox[:2], trans_output)
+            bbox[2:] = affine_transform(bbox[2:], trans_output)
+            bbox[[0, 2]] = np.clip(bbox[[0, 2]], 0, out_w - 1)
+            bbox[[1, 3]] = np.clip(bbox[[1, 3]], 0, out_h - 1)
+            h, w = bbox[3] - bbox[1], bbox[2] - bbox[0]
+            if h > 0 and w > 0:
+                radius = max(0, int(gaussian_radius((h, w))))
+                ct = np.array([(bbox[0] + bbox[2]) / 2,
+                               (bbox[1] + bbox[3]) / 2], dtype=np.float32)
+                ct_int = ct.astype(np.int32)
+                if cls_id < 0:
+                    # ignore region: splat near-1 so focal loss mutes it
+                    # (reference sample/ddd.py:108-118)
+                    ignore_id = list(range(num_classes)) if cls_id == -1 \
+                        else [-cls_id - 2]
+                    if self.opt.rect_mask:
+                        hm[int(bbox[1]):int(bbox[3]) + 1,
+                           int(bbox[0]):int(bbox[2]) + 1, ignore_id] = 0.9999
+                    else:
+                        for cc in ignore_id:
+                            sl = np.ascontiguousarray(hm[:, :, cc])
+                            draw_gaussian(sl, ct, radius)
+                            hm[:, :, cc] = sl
+                        hm[ct_int[1], ct_int[0], ignore_id] = 0.9999
+                    continue
+                sl = np.ascontiguousarray(hm[:, :, cls_id])
+                draw_gaussian(sl, ct, radius)
+                hm[:, :, cls_id] = sl
+
+                wh[k] = 1.0 * w, 1.0 * h
+                gt_det.append(
+                    [ct[0], ct[1], 1]
+                    + self._alpha_to_8(self._convert_alpha(ann["alpha"]))
+                    + [ann["depth"]] + list(np.array(ann["dim"]))
+                    + [cls_id])
+                if self.opt.reg_bbox:
+                    gt_det[-1] = gt_det[-1][:-1] + [w, h] + [gt_det[-1][-1]]
+                alpha = self._convert_alpha(ann["alpha"])
+                if alpha < np.pi / 6.0 or alpha > 5 * np.pi / 6.0:
+                    rotbin[k, 0] = 1
+                    rotres[k, 0] = alpha - (-0.5 * np.pi)
+                if alpha > -np.pi / 6.0 or alpha < -5 * np.pi / 6.0:
+                    rotbin[k, 1] = 1
+                    rotres[k, 1] = alpha - (0.5 * np.pi)
+                dep[k] = ann["depth"]
+                dim[k] = ann["dim"]
+                ind[k] = ct_int[1] * out_w + ct_int[0]
+                reg[k] = ct - ct_int
+                reg_mask[k] = 1 if not aug else 0
+                rot_mask[k] = 1
+
+        ret = {"input": inp.astype(np.float32), "hm": hm, "dep": dep,
+               "dim": dim, "ind": ind, "rotbin": rotbin, "rotres": rotres,
+               "reg_mask": reg_mask, "rot_mask": rot_mask}
+        if self.opt.reg_bbox:
+            ret.update({"wh": wh})
+        if self.opt.reg_offset:
+            ret.update({"reg": reg})
+        if self.opt.debug > 0 or "train" not in self.split:
+            gt_det = np.array(gt_det, dtype=np.float32) if len(gt_det) > 0 \
+                else np.zeros((1, 18), dtype=np.float32)
+            ret["meta"] = {"c": c, "s": s, "gt_det": gt_det, "calib": calib,
+                           "image_path": img_path, "img_id": img_id}
+        return ret
+
+
+class MultiPoseSampler:
+    """COCO keypoint targets (reference sample/multi_pose.py) — ported in a
+    later milestone."""
+
+    def get_sample(self, index):
+        raise NotImplementedError(
+            "multi_pose target generation lands with the COCO-HP milestone")
+
+
+class ExdetSampler:
+    """ExtremeNet targets (reference sample/exdet.py) — ported in a later
+    milestone."""
+
+    def get_sample(self, index):
+        raise NotImplementedError(
+            "exdet target generation lands with the ExtremeNet milestone")

@@ -1,0 +1,237 @@
+"""Inference engine (reference lib/detectors/).
+
+The detector's hot path is ONE jitted device program per (batch, resolution):
+forward -> sigmoid -> flip-test averaging -> maxpool-NMS top-k decode ->
+affine back-projection, with only the final (K, 6) detections crossing to
+the host (the reference crosses at detectors/ctdet.py:49 before
+post-processing). Per-stage wall-clock timing mirrors
+base_detector.py:93-155 ({tot, load, pre, net, dec, post, merge}).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+import jax
+import jax.numpy as jnp
+
+from ..data.affine import get_affine_transform
+from ..models import create_model
+from ..models import decode as D
+from ..models.layers import QuantSpec
+from ..models.losses import sigmoid_clamped
+from ..ops.nms import soft_nms
+from . import checkpoint
+
+
+def flip_w(x):
+    """Horizontal flip, NHWC (reference models/utils.py:32-33)."""
+    return x[:, :, ::-1, :]
+
+
+class BaseDetector:
+    def __init__(self, opt, variables=None):
+        self.opt = opt
+        qspec = None
+        if getattr(opt, "resume_quantize", False):
+            qspec = QuantSpec(w_bit=opt.w_bit, a_bit=opt.a_bit,
+                              wt_mode="symmetric", act_mode="asymmetric",
+                              per_channel=True,
+                              wt_percentile=opt.wt_percentile,
+                              act_percentile=opt.act_percentile)
+        self.qspec = qspec
+        self.model = create_model(opt.arch, opt.heads, opt.head_conv,
+                                  w2=opt.w2, maxpool=opt.maxpool, qspec=qspec)
+        if variables is not None:
+            self.variables = variables
+        else:
+            rng = jax.random.PRNGKey(0)
+            init_vars = self.model.init(
+                rng, jnp.zeros((1, opt.input_h, opt.input_w, 3), jnp.float32))
+            self.variables = dict(init_vars)
+            if opt.load_model:
+                self.variables, _, _ = checkpoint.load_model(
+                    opt.load_model, self.variables)
+
+        self.mean = np.array(opt.mean, dtype=np.float32).reshape(1, 1, 3)
+        self.std = np.array(opt.std, dtype=np.float32).reshape(1, 1, 3)
+        self.max_per_image = 100
+        self.num_classes = opt.num_classes
+        self.scales = opt.test_scales
+        self.pause = True
+
+    # -- host-side preprocessing (reference base_detector.py:48-76) -------
+    def pre_process(self, image, scale, meta=None):
+        height, width = image.shape[0:2]
+        new_height = int(height * scale)
+        new_width = int(width * scale)
+        if self.opt.fix_res:
+            inp_height, inp_width = self.opt.input_h, self.opt.input_w
+            c = np.array([new_width / 2.0, new_height / 2.0],
+                         dtype=np.float32)
+            s = max(height, width) * 1.0
+        else:
+            inp_height = (new_height | self.opt.pad) + 1
+            inp_width = (new_width | self.opt.pad) + 1
+            c = np.array([new_width // 2, new_height // 2], dtype=np.float32)
+            s = np.array([inp_width, inp_height], dtype=np.float32)
+
+        trans_input = get_affine_transform(c, s, 0, [inp_width, inp_height])
+        resized = cv2.resize(image, (new_width, new_height))
+        inp_image = cv2.warpAffine(resized, np.asarray(trans_input),
+                                   (inp_width, inp_height),
+                                   flags=cv2.INTER_LINEAR)
+        inp_image = ((inp_image / 255.0 - self.mean) / self.std).astype(
+            np.float32)
+        images = inp_image[None]  # NHWC
+        if self.opt.flip_test:
+            images = np.concatenate((images, images[:, :, ::-1, :]), axis=0)
+        out_h = inp_height // self.opt.down_ratio
+        out_w = inp_width // self.opt.down_ratio
+        trans_inv = get_affine_transform(
+            c, s, 0, [out_w, out_h], inv=1).astype(np.float32)
+        meta = {"c": c, "s": s, "out_height": out_h, "out_width": out_w,
+                "trans_inv": trans_inv}
+        return images, meta
+
+    def process(self, images, trans_inv, scale):
+        raise NotImplementedError
+
+    def post_process(self, dets, meta, scale=1):
+        raise NotImplementedError
+
+    def merge_outputs(self, detections):
+        raise NotImplementedError
+
+    # -- timed multi-scale driver (reference base_detector.py:93-155) -----
+    def run(self, image_or_path_or_tensor, meta=None):
+        load_time, pre_time, net_time, dec_time, post_time = 0, 0, 0, 0, 0
+        merge_time, tot_time = 0, 0
+        start_time = time.time()
+        pre_processed = False
+        if isinstance(image_or_path_or_tensor, np.ndarray):
+            image = image_or_path_or_tensor
+        elif isinstance(image_or_path_or_tensor, str):
+            image = cv2.imread(image_or_path_or_tensor)
+        else:
+            image = image_or_path_or_tensor["image"]
+            pre_processed_images = image_or_path_or_tensor
+            pre_processed = True
+        loaded_time = time.time()
+        load_time += loaded_time - start_time
+
+        detections = []
+        for scale in self.scales:
+            scale_start_time = time.time()
+            if not pre_processed:
+                images, meta = self.pre_process(image, scale, meta)
+            else:
+                images = pre_processed_images["images"][scale]
+                meta = pre_processed_images["meta"][scale]
+            pre_process_time = time.time()
+            pre_time += pre_process_time - scale_start_time
+
+            dets = self.process(images, meta["trans_inv"], scale)
+            dets = jax.block_until_ready(dets)
+            decode_time = time.time()
+            # forward + decode are ONE fused device program here; the whole
+            # device time is attributed to 'net' and 'dec' reports 0
+            net_time += decode_time - pre_process_time
+
+            dets = self.post_process(np.asarray(dets), meta, scale)
+            post_process_time = time.time()
+            post_time += post_process_time - decode_time
+            detections.append(dets)
+
+        results = self.merge_outputs(detections)
+        end_time = time.time()
+        merge_time += end_time - post_process_time
+        tot_time += end_time - start_time
+        return {"results": results, "tot": tot_time, "load": load_time,
+                "pre": pre_time, "net": net_time, "dec": dec_time,
+                "post": post_time, "merge": merge_time}
+
+
+class CtdetDetector(BaseDetector):
+    """2D-box detector (reference lib/detectors/ctdet.py)."""
+
+    def __init__(self, opt, variables=None):
+        super().__init__(opt, variables)
+
+        model = self.model
+        reg_offset = opt.reg_offset
+        cat_spec_wh = opt.cat_spec_wh
+        flip_test = opt.flip_test
+        k = opt.K
+
+        @partial(jax.jit, static_argnames=("inv_scale",))
+        def _process(variables, images, trans_inv, inv_scale=1.0):
+            out = model.apply(variables, images, train=False)
+            outputs = out if isinstance(out, (list, tuple)) else [out]
+            output = outputs[-1]
+            hm = jax.nn.sigmoid(output["hm"])
+            wh = output["wh"]
+            reg = output["reg"] if reg_offset else None
+            if flip_test:
+                # average unflipped + W-flipped copies
+                # (reference detectors/ctdet.py:35-38)
+                hm = (hm[0:1] + flip_w(hm[1:2])) / 2
+                wh = (wh[0:1] + flip_w(wh[1:2])) / 2
+                reg = reg[0:1] if reg is not None else None
+            dets = D.ctdet_decode(hm, wh, reg=reg, cat_spec_wh=cat_spec_wh,
+                                  k=k)
+            return D.backproject_dets(dets, trans_inv[None], inv_scale)
+
+        self._process_fn = _process
+
+    def process(self, images, trans_inv, scale):
+        return self._process_fn(self.variables, jnp.asarray(images),
+                                jnp.asarray(trans_inv),
+                                inv_scale=float(1.0 / scale))
+
+    def post_process(self, dets, meta, scale=1):
+        """Bucket image-space dets by 1-based class (the affine
+        back-projection and /scale already ran on device)."""
+        dets = np.asarray(dets).reshape(-1, 6)
+        ret = {}
+        for j in range(1, self.num_classes + 1):
+            inds = dets[:, 5] == (j - 1)
+            ret[j] = dets[inds, :5].astype(np.float32).reshape(-1, 5)
+        return ret
+
+    def merge_outputs(self, detections):
+        """Concat scales + optional soft-NMS + global top-100
+        (reference detectors/ctdet.py:59-74)."""
+        results = {}
+        for j in range(1, self.num_classes + 1):
+            results[j] = np.concatenate(
+                [det[j] for det in detections], axis=0).astype(np.float32)
+            if len(self.scales) > 1 or self.opt.nms:
+                soft_nms(results[j], Nt=0.5, method=2)
+        scores = np.hstack(
+            [results[j][:, 4] for j in range(1, self.num_classes + 1)])
+        if len(scores) > self.max_per_image:
+            kth = len(scores) - self.max_per_image
+            thresh = np.partition(scores, kth)[kth]
+            for j in range(1, self.num_classes + 1):
+                keep_inds = results[j][:, 4] >= thresh
+                results[j] = results[j][keep_inds]
+        return results
+
+
+DETECTOR_FACTORY = {
+    "ctdet": CtdetDetector,
+}
+
+
+def detector_factory(task):
+    """reference lib/detectors/detector_factory.py:11-16."""
+    return DETECTOR_FACTORY[task]

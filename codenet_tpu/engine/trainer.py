@@ -1,0 +1,173 @@
+"""Training engine: one pjit-sharded train step + epoch loop.
+
+Rebuild of reference lib/trains/base_trainer.py + per-task trainers: the
+model+loss fusion (ModelWithLoss, base_trainer.py:12-21) becomes a single
+jitted `train_step` whose batch is sharded over the 'data' mesh axis and
+whose params are replicated — XLA inserts the gradient all-reduce over ICI
+(replacing DataParallel scatter/gather). FP32 training updates batch_stats;
+QAT (qspec set) trains against frozen folded BN and updates activation-range
+EMA (`quant_stats`) instead, mirroring quant_main.py:43-47 semantics.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models import create_model
+from ..models.losses import LOSS_FACTORY
+from ..parallel import shard_batch, replicate_tree
+from ..parallel.mesh import get_mesh_for_batch
+from ..utils.meters import AverageMeter
+
+
+class LossOpts:
+    """Static, hashable subset of opt consumed inside the jitted loss."""
+
+    FIELDS = ("mse_loss", "dense_wh", "cat_spec_wh", "norm_wh", "reg_loss",
+              "reg_offset", "reg_bbox", "hm_weight", "wh_weight",
+              "off_weight", "dep_weight", "dim_weight", "rot_weight",
+              "hp_weight", "hm_hp_weight", "hm_hp", "reg_hp_offset",
+              "dense_hp")
+
+    def __init__(self, opt):
+        for f in self.FIELDS:
+            setattr(self, f, getattr(opt, f, None))
+        self._key = tuple(getattr(self, f) for f in self.FIELDS)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, LossOpts) and self._key == other._key
+
+
+def make_train_step(model, loss_fn, loss_opts, tx, quantized):
+    """Build the jitted train step.
+
+    quantized=False: mutate batch_stats (BN running averages).
+    quantized=True: BN frozen, mutate quant_stats (activation EMA).
+    """
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(variables, opt_state, batch):
+        params = variables["params"]
+        aux_vars = {k: v for k, v in variables.items() if k != "params"}
+
+        def compute_loss(p):
+            model_vars = {"params": p, **aux_vars}
+            if quantized:
+                out, updates = model.apply(
+                    model_vars, batch["input"], train=False,
+                    update_stats=True, mutable=["quant_stats"])
+            else:
+                out, updates = model.apply(
+                    model_vars, batch["input"], train=True,
+                    mutable=["batch_stats"])
+            outputs = out if isinstance(out, (list, tuple)) else [out]
+            loss, stats = loss_fn(outputs, batch, loss_opts)
+            return loss, (stats, updates)
+
+        grads, (stats, updates) = jax.grad(compute_loss, has_aux=True)(params)
+        updates_tx, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates_tx)
+        new_vars = {"params": params, **aux_vars, **updates}
+        return new_vars, opt_state, stats
+
+    return train_step
+
+
+def make_val_step(model, loss_fn, loss_opts):
+    @jax.jit
+    def val_step(variables, batch):
+        out = model.apply(variables, batch["input"], train=False)
+        outputs = out if isinstance(out, (list, tuple)) else [out]
+        _, stats = loss_fn(outputs, batch, loss_opts)
+        return stats
+    return val_step
+
+
+class Trainer:
+    """Epoch-loop engine (reference base_trainer.py:23-119)."""
+
+    def __init__(self, opt, qspec=None, mesh=None):
+        self.opt = opt
+        self.qspec = qspec
+        self.mesh = mesh or get_mesh_for_batch(opt.batch_size)
+        self.model = create_model(opt.arch, opt.heads, opt.head_conv,
+                                  w2=opt.w2, maxpool=opt.maxpool,
+                                  qspec=qspec)
+        self.loss_fn = LOSS_FACTORY[opt.task]
+        self.loss_opts = LossOpts(opt)
+        self.lr = opt.lr
+        self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=opt.lr)
+        self.train_step = make_train_step(self.model, self.loss_fn,
+                                          self.loss_opts, self.tx,
+                                          quantized=qspec is not None)
+        self.val_step = make_val_step(self.model, self.loss_fn,
+                                      self.loss_opts)
+        self.variables = None
+        self.opt_state = None
+
+    # -- state ---------------------------------------------------------
+    def init(self, rng=None, input_shape=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.opt.seed)
+        shape = input_shape or (1, self.opt.input_h, self.opt.input_w, 3)
+        variables = self.model.init(rng, jnp.zeros(shape, jnp.float32))
+        self.variables = replicate_tree(self.mesh, dict(variables))
+        self.opt_state = self.tx.init(self.variables["params"])
+        return self.variables
+
+    def set_lr(self, lr):
+        """Step-decay hook (reference main.py:91-97)."""
+        self.lr = lr
+        self.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+
+    # -- epochs ----------------------------------------------------------
+    def run_epoch(self, phase, epoch, loader, num_iters=-1, print_iter=0,
+                  on_batch=None):
+        meters = {}
+        data_time = AverageMeter()
+        batch_time = AverageMeter()
+        end = time.time()
+        n_iters = len(loader) if num_iters < 0 else num_iters
+        for it, batch in enumerate(loader):
+            if it >= n_iters:
+                break
+            meta = batch.pop("meta", None)
+            batch = shard_batch(self.mesh, batch)
+            data_time.update(time.time() - end)
+
+            if phase == "train":
+                self.variables, self.opt_state, stats = self.train_step(
+                    self.variables, self.opt_state, batch)
+            else:
+                stats = self.val_step(self.variables, batch)
+            stats = {k: float(v) for k, v in stats.items()}
+            for k, v in stats.items():
+                meters.setdefault(k, AverageMeter()).update(
+                    v, batch["input"].shape[0])
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if print_iter and it % print_iter == 0:
+                msg = " ".join("{} {:.4f}".format(k, m.avg)
+                               for k, m in meters.items())
+                print("{} epoch {} [{}/{}] {} | data {:.3f}s net {:.3f}s"
+                      .format(phase, epoch, it, n_iters, msg,
+                              data_time.avg, batch_time.avg))
+            if on_batch is not None:
+                on_batch(it, batch, meta)
+        return {k: m.avg for k, m in meters.items()}
+
+    def train(self, epoch, loader, **kw):
+        return self.run_epoch("train", epoch, loader,
+                              num_iters=self.opt.num_iters,
+                              print_iter=self.opt.print_iter, **kw)
+
+    def val(self, epoch, loader, **kw):
+        return self.run_epoch("val", epoch, loader, **kw)

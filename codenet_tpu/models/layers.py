@@ -1,0 +1,344 @@
+"""Shared layers: conv/BN primitives with a quantized mode, shuffle units,
+and the co-designed deformable block.
+
+Every layer exists once with two execution modes selected by a static
+`QuantSpec` attribute (None = FP32). The parameter tree is IDENTICAL in both
+modes — quantized execution folds BN from the same `batch_stats` and
+fake-quantizes the same kernels — so an FP32 checkpoint loads directly into
+the quantized model, replacing the reference's in-place graph surgery
+(portable_quantizer/quantization_utils/quantize_model.py:7-83) with a pure
+config switch. Activation-range EMA state lives in a separate `quant_stats`
+collection.
+
+Layout: NHWC activations, HWIO kernels (TPU-native; the reference is
+NCHW/OIHW).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import quant as Q
+from ..ops.deform_conv import codesign_deform_conv
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantSpec:
+    """Static quantization configuration (hashable; part of module config).
+
+    Field semantics follow quantize_shufflenetv2_dcn's arguments
+    (reference quantize_model.py:7-24).
+    """
+    w_bit: int = 4
+    a_bit: int = 8
+    wt_mode: str = "symmetric"
+    act_mode: str = "asymmetric"
+    per_channel: bool = True
+    wt_percentile: bool = False
+    act_percentile: bool = False
+
+
+def torch_conv_init(groups=1):
+    """torch nn.Conv2d default (kaiming_uniform a=sqrt(5)): U(+-1/sqrt(fan_in))."""
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, cin_pg, _ = shape
+        fan_in = kh * kw * cin_pg
+        bound = 1.0 / np.sqrt(fan_in)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def kaiming_normal_relu():
+    """torch kaiming_normal_(nonlinearity='relu') on OIHW == normal(0, sqrt(2/fan_in))."""
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, cin_pg, _ = shape
+        fan_in = kh * kw * cin_pg
+        std = np.sqrt(2.0 / fan_in)
+        return jax.random.normal(key, shape, dtype) * std
+    return init
+
+
+def deform_weight_init(in_channels):
+    """DeformConv.reset_parameters (modules/dcn_deform_conv.py:49-54):
+    U(+-1/sqrt(in_channels * kh * kw)) — note: full in_channels, not per-group."""
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, _, _ = shape
+        n = in_channels * kh * kw
+        bound = 1.0 / np.sqrt(n)
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
+def conv2d(x, kernel, stride=1, padding=1, groups=1, dtype=None):
+    """Plain NHWC conv via lax (HWIO kernel)."""
+    s = (stride, stride) if isinstance(stride, int) else stride
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=s, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups)
+
+
+def max_pool(x, window=3, stride=2, padding=1):
+    """Max pooling (torch nn.MaxPool2d semantics with explicit padding)."""
+    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) \
+        else jnp.iinfo(x.dtype).min
+    return jax.lax.reduce_window(
+        x, neg, jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)))
+
+
+def upsample_nearest_2x(x):
+    """2x nearest-neighbour upsample (torch nn.Upsample(scale_factor=2))."""
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+def channel_shuffle(x, groups=2):
+    """ShuffleNet channel shuffle, NHWC (reference shufflenetv2_dcn.py:29-34)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h, w, groups, c // groups)
+    x = jnp.swapaxes(x, 3, 4)
+    return x.reshape(n, h, w, c)
+
+
+def hardtanh(x, min_val, max_val):
+    return jnp.clip(x, min_val, max_val)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch semantics (momentum 0.1, unbiased running var).
+
+    In FP32 training mode, normalizes with batch statistics and updates
+    running stats (mutable 'batch_stats'). In eval / quant mode it is the
+    caller's job to use `mean/var` params (e.g. via fold_bn); calling this
+    module with train=False normalizes with running stats.
+    """
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(self.features))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(self.features))
+        if train:
+            axes = (0, 1, 2)
+            mean = jnp.mean(x, axis=axes)
+            var = jnp.mean(jnp.square(x - mean[None, None, None, :]),
+                           axis=axes)
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased = var * n / max(n - 1, 1)
+            if not self.is_initializing():
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.eps)
+        return (x - mean[None, None, None, :]) * (scale * inv)[None, None,
+                                                               None, :] \
+            + bias[None, None, None, :]
+
+
+class QuantAct(nn.Module):
+    """EMA-range activation fake-quantizer (reference QuantAct,
+    quant_modules.py:163-225). Identity when qspec is None.
+
+    `update` mirrors running_stat: EMA updates happen before quantization.
+    """
+    qspec: Optional[QuantSpec]
+    mode: str = "asymmetric"
+
+    @nn.compact
+    def __call__(self, x, update: bool = False):
+        if self.qspec is None:
+            return x
+        x_min = self.variable("quant_stats", "x_min", lambda: jnp.zeros(1))
+        x_max = self.variable("quant_stats", "x_max", lambda: jnp.zeros(1))
+        if update and not self.is_initializing():
+            bmin, bmax = Q.act_range_observe(x, self.qspec.act_percentile)
+            nmin, nmax = Q.ema_update(x_min.value, x_max.value, bmin, bmax)
+            x_min.value = nmin
+            x_max.value = nmax
+        xf = x.astype(jnp.float32)
+        out = Q.fake_quant_act(xf, self.qspec.a_bit, x_min.value, x_max.value,
+                               self.mode)
+        return out.astype(x.dtype)
+
+
+class Conv(nn.Module):
+    """Conv2d with optional weight fake-quant (reference Quant_Conv2d,
+    quant_modules.py:228-321). Bias stays full precision (bias_bit=None)."""
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    qspec: Optional[QuantSpec] = None
+    w_bit: Optional[int] = None  # override (layer0 uses 8)
+    kernel_init: Callable = None  # type: ignore[assignment]
+    bias_init: Callable = nn.initializers.zeros
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kinit = self.kernel_init or torch_conv_init(self.groups)
+        kernel = self.param(
+            "kernel", kinit,
+            (self.kernel_size, self.kernel_size, cin // self.groups,
+             self.features))
+        if self.qspec is not None:
+            kernel = Q.fake_quant_weight(
+                kernel, self.w_bit or self.qspec.w_bit, self.qspec.wt_mode,
+                self.qspec.per_channel, self.qspec.wt_percentile)
+        y = conv2d(x, kernel, self.stride, self.padding, self.groups,
+                   dtype=self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + bias.astype(y.dtype)[None, None, None, :]
+        return y
+
+
+class ConvBN(nn.Module):
+    """Conv + BatchNorm, BN variables inlined so quant mode can fold them.
+
+    FP32 mode: conv -> batchnorm (torch momentum 0.1 semantics).
+    Quant mode: fold BN from (frozen) running stats into the kernel/bias,
+    fake-quant the folded kernel per channel, then one conv — the reference
+    QuantBnConv2d (quant_modules.py:324-419): QAT trains against frozen
+    folded BN, running stats never update in quant mode.
+    """
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    groups: int = 1
+    qspec: Optional[QuantSpec] = None
+    w_bit: Optional[int] = None
+    momentum: float = 0.1
+    eps: float = 1e-5
+    kernel_init: Callable = None  # type: ignore[assignment]
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        f = self.features
+        kinit = self.kernel_init or torch_conv_init(self.groups)
+        kernel = self.param(
+            "kernel", kinit,
+            (self.kernel_size, self.kernel_size, cin // self.groups, f))
+        gamma = self.param("scale", nn.initializers.ones, (f,))
+        beta = self.param("bias", nn.initializers.zeros, (f,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(f))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(f))
+
+        if self.qspec is not None:
+            w, b = Q.fold_bn(kernel, None, gamma, beta, ra_mean.value,
+                             ra_var.value, self.eps)
+            w = Q.fake_quant_weight(
+                w, self.w_bit or self.qspec.w_bit, self.qspec.wt_mode,
+                self.qspec.per_channel, self.qspec.wt_percentile)
+            y = conv2d(x, w, self.stride, self.padding, self.groups,
+                       dtype=self.dtype)
+            return y + b.astype(y.dtype)[None, None, None, :]
+
+        y = conv2d(x, kernel, self.stride, self.padding, self.groups,
+                   dtype=self.dtype)
+        y = y.astype(jnp.float32)
+        if train:
+            mean = jnp.mean(y, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(y - mean[None, None, None, :]),
+                           axis=(0, 1, 2))
+            n = y.shape[0] * y.shape[1] * y.shape[2]
+            unbiased = var * n / max(n - 1, 1)
+            if not self.is_initializing():
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(var + self.eps)
+        return (y - mean[None, None, None, :]) * (gamma * inv)[None, None,
+                                                               None, :] \
+            + beta[None, None, None, :]
+
+
+class CodesignDeformBlock(nn.Module):
+    """DeformConvWithOffsetScaleBoundPositive (+ its following BN), both modes.
+
+    FP32 (reference modules/dcn_deform_conv.py:285-330 + the BN placed after
+    it in the deconv stage, shufflenetv2_dcn.py:300-307):
+      s = Hardtanh[-bound+1, bound](conv_scale(x)); o = anchor*(s-1)
+      y = depthwise_deform_conv(x, o); y = conv_channel(y) if in != out
+      y = BN(y)
+    Quant (reference QuantDeformConvWithOffsetScaleBoundPositive,
+    quant_modules.py:621-671): conv_scale weights quantized, s additionally
+    QuantAct'd after the Hardtanh, deform weights quantized, a QuantAct
+    between deform and the 1x1 mixer, and the mixer+BN folded/quantized.
+
+    The ReLU + (QuantAct) + upsample that follow in the deconv stage belong
+    to the caller.
+    """
+    features: int
+    offset_bound: int = 8
+    qspec: Optional[QuantSpec] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, update_stats: bool = False):
+        cin = x.shape[-1]
+        # 1x1 scale predictor, weight zero / bias one init
+        # (modules/dcn_deform_conv.py:295-302)
+        conv_scale = Conv(1, kernel_size=1, stride=1, padding=0,
+                          use_bias=True, qspec=self.qspec,
+                          kernel_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.ones,
+                          name="conv_scale")
+        s = conv_scale(x.astype(jnp.float32))
+        s = hardtanh(s, -self.offset_bound + 1, self.offset_bound)
+        s = QuantAct(self.qspec, mode="asymmetric", name="scale_act")(
+            s, update=update_stats)
+
+        dw_kernel = self.param("deform_kernel", deform_weight_init(cin),
+                               (3, 3, 1, cin))
+        if self.qspec is not None:
+            dw_kernel = Q.fake_quant_weight(
+                dw_kernel, self.qspec.w_bit, self.qspec.wt_mode,
+                self.qspec.per_channel, self.qspec.wt_percentile)
+        y = codesign_deform_conv(x, s, dw_kernel)
+
+        y = QuantAct(self.qspec, mode=self.qspec.act_mode if self.qspec
+                     else "asymmetric", name="deform_act")(
+            y, update=update_stats)
+
+        if cin != self.features:
+            mixer = ConvBN(self.features, kernel_size=1, stride=1, padding=0,
+                           qspec=self.qspec,
+                           kernel_init=kaiming_normal_relu(),
+                           dtype=self.dtype, name="conv_channel")
+            y = mixer(y, train=train)
+        else:
+            bn = BatchNorm(self.features, name="bn")
+            y = bn(y, train=train)
+        return y

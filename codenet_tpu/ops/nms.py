@@ -1,0 +1,126 @@
+"""NMS / Soft-NMS.
+
+Port of the reference Cython kernels (lib/models/external/nms.pyx:24-170) in
+vectorized numpy, preserving the reference's exact caller-visible semantics —
+ctdet's merge_outputs calls soft_nms for its IN-PLACE score decay and ignores
+the returned keep list (reference detectors/ctdet.py:64-65), including the
+quirk that below-threshold rows are swapped to the tail and the logical N
+shrinks while the array keeps its physical size.
+
+These run on ≤100 boxes per class on the host after decode; a jit/Pallas
+variant is unnecessary at this size (the on-device maxpool peak-keep in
+decode.py already does the heavy suppression).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def nms(dets, thresh):
+    """Greedy hard NMS (reference nms.pyx:24-75). Returns kept indices."""
+    x1, y1, x2, y2 = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3]
+    scores = dets[:, 4]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = scores.argsort()[::-1]
+
+    keep = []
+    suppressed = np.zeros(dets.shape[0], dtype=bool)
+    for _i in range(len(order)):
+        i = order[_i]
+        if suppressed[i]:
+            continue
+        keep.append(int(i))
+        rest = order[_i + 1:]
+        rest = rest[~suppressed[rest]]
+        if rest.size == 0:
+            continue
+        xx1 = np.maximum(x1[i], x1[rest])
+        yy1 = np.maximum(y1[i], y1[rest])
+        xx2 = np.minimum(x2[i], x2[rest])
+        yy2 = np.minimum(y2[i], y2[rest])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        inter = w * h
+        ovr = inter / (areas[i] + areas[rest] - inter)
+        suppressed[rest[ovr >= thresh]] = True
+    return keep
+
+
+def soft_nms(boxes, sigma=0.5, Nt=0.3, threshold=0.001, method=0):
+    """Soft-NMS (reference nms.pyx:77-170), in-place on (N, 5) float boxes.
+
+    method: 0 hard, 1 linear, 2 gaussian. Returns keep = list(range(N'))
+    where N' is the shrunk logical count, exactly like the Cython version.
+    """
+    N = boxes.shape[0]
+    i = 0
+    while i < N:
+        # move the max-score box among [i, N) to position i
+        maxpos = i + int(np.argmax(boxes[i:N, 4]))
+        if maxpos != i:
+            boxes[[i, maxpos]] = boxes[[maxpos, i]].copy()
+        tx1, ty1, tx2, ty2 = boxes[i, 0], boxes[i, 1], boxes[i, 2], boxes[i, 3]
+
+        pos = i + 1
+        while pos < N:
+            x1, y1, x2, y2 = boxes[pos, 0], boxes[pos, 1], boxes[pos, 2], \
+                boxes[pos, 3]
+            area = (x2 - x1 + 1) * (y2 - y1 + 1)
+            iw = min(tx2, x2) - max(tx1, x1) + 1
+            if iw > 0:
+                ih = min(ty2, y2) - max(ty1, y1) + 1
+                if ih > 0:
+                    ua = (tx2 - tx1 + 1) * (ty2 - ty1 + 1) + area - iw * ih
+                    ov = iw * ih / ua
+                    if method == 1:
+                        weight = 1 - ov if ov > Nt else 1.0
+                    elif method == 2:
+                        weight = np.exp(-(ov * ov) / sigma)
+                    else:
+                        weight = 0.0 if ov > Nt else 1.0
+                    boxes[pos, 4] = weight * boxes[pos, 4]
+                    if boxes[pos, 4] < threshold:
+                        boxes[pos] = boxes[N - 1].copy()
+                        N -= 1
+                        pos -= 1
+            pos += 1
+        i += 1
+    return list(range(N))
+
+
+def soft_nms_39(boxes, sigma=0.5, Nt=0.3, threshold=0.001, method=0):
+    """39-column keypoint variant (reference nms.pyx:172-275): same score
+    logic, rows carry bbox(4)+score+kps(34)."""
+    N = boxes.shape[0]
+    i = 0
+    while i < N:
+        maxpos = i + int(np.argmax(boxes[i:N, 4]))
+        if maxpos != i:
+            boxes[[i, maxpos]] = boxes[[maxpos, i]].copy()
+        tx1, ty1, tx2, ty2 = boxes[i, 0], boxes[i, 1], boxes[i, 2], boxes[i, 3]
+        pos = i + 1
+        while pos < N:
+            x1, y1, x2, y2 = boxes[pos, 0], boxes[pos, 1], boxes[pos, 2], \
+                boxes[pos, 3]
+            area = (x2 - x1 + 1) * (y2 - y1 + 1)
+            iw = min(tx2, x2) - max(tx1, x1) + 1
+            if iw > 0:
+                ih = min(ty2, y2) - max(ty1, y1) + 1
+                if ih > 0:
+                    ua = (tx2 - tx1 + 1) * (ty2 - ty1 + 1) + area - iw * ih
+                    ov = iw * ih / ua
+                    if method == 1:
+                        weight = 1 - ov if ov > Nt else 1.0
+                    elif method == 2:
+                        weight = np.exp(-(ov * ov) / sigma)
+                    else:
+                        weight = 0.0 if ov > Nt else 1.0
+                    boxes[pos, 4] = weight * boxes[pos, 4]
+                    if boxes[pos, 4] < threshold:
+                        boxes[pos] = boxes[N - 1].copy()
+                        N -= 1
+                        pos -= 1
+            pos += 1
+        i += 1
+    return list(range(N))

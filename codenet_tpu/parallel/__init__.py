@@ -1,0 +1,4 @@
+"""Device-mesh parallelism (replaces reference lib/models/data_parallel.py)."""
+
+from .mesh import (  # noqa: F401
+    get_mesh, shard_batch, replicate_tree, data_sharding, replicated_sharding)

@@ -1,0 +1,167 @@
+"""Flagship model structure/forward tests (FP32 and quantized modes)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from codenet_tpu.models import create_model
+from codenet_tpu.models.layers import QuantSpec
+
+HEADS = {"hm": 20, "wh": 2, "reg": 2}
+
+
+def _init_and_run(model, x, train=False, update_stats=False):
+    variables = model.init(jax.random.PRNGKey(0), x)
+    mutable = []
+    if train:
+        mutable.append("batch_stats")
+    if update_stats:
+        mutable.append("quant_stats")
+    if mutable:
+        out, new_vars = model.apply(variables, x, train=train,
+                                    update_stats=update_stats,
+                                    mutable=mutable)
+        return variables, out, new_vars
+    out = model.apply(variables, x, train=train, update_stats=update_stats)
+    return variables, out, {}
+
+
+def test_forward_shapes_256():
+    model = create_model("shufflenetv2", HEADS, 64)
+    x = jnp.zeros((2, 256, 256, 3), jnp.float32)
+    variables, out, _ = _init_and_run(model, x)
+    assert out["hm"].shape == (2, 64, 64, 20)
+    assert out["wh"].shape == (2, 64, 64, 2)
+    assert out["reg"].shape == (2, 64, 64, 2)
+    # hm bias init -2.19 (reference shufflenetv2_dcn.py:260)
+    b = variables["params"]["head_hm"]["out"]["bias"]
+    np.testing.assert_allclose(np.asarray(b), -2.19, atol=1e-6)
+    # conv_scale init: weight 0, bias 1 => s==1 at init (identity sampling)
+    cs = variables["params"]["deconv0"]["conv_scale"]
+    assert np.all(np.asarray(cs["kernel"]) == 0)
+    np.testing.assert_allclose(np.asarray(cs["bias"]), 1.0)
+
+
+def test_maxpool_variant_same_output_stride():
+    model = create_model("shufflenetv2", HEADS, 64, maxpool=True)
+    x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    _, out, _ = _init_and_run(model, x)
+    assert out["hm"].shape == (1, 64, 64, 20)
+
+
+def test_w2_channels():
+    model = create_model("shufflenetv2", HEADS, 64, w2=True)
+    x = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    variables, out, _ = _init_and_run(model, x)
+    assert out["hm"].shape == (1, 32, 32, 20)
+    # w2 channel plan [24,244,488,976,2153] (reference :199-202)
+    k = variables["params"]["layer4"]["kernel"]
+    assert k.shape == (1, 1, 976, 2153)
+
+
+def test_param_count_matches_model_size():
+    """Config a/b/c claims 0.76 MB at W4A8. Count conv/bn params."""
+    model = create_model("shufflenetv2", HEADS, 64)
+    x = jnp.zeros((1, 256, 256, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    n_params = sum(np.prod(p.shape) for p in
+                   jax.tree_util.tree_leaves(variables["params"]))
+    # reference thop count ~ 1.59M params for 1x voc
+    assert 1.0e6 < n_params < 2.5e6, n_params
+
+
+def test_quant_mode_same_param_tree_and_forward():
+    q = QuantSpec()
+    fp = create_model("shufflenetv2", HEADS, 64)
+    qm = create_model("shufflenetv2", HEADS, 64, qspec=q)
+    x = jnp.ones((1, 128, 128, 3), jnp.float32) * 0.3
+    v_fp = fp.init(jax.random.PRNGKey(0), x)
+    v_q = qm.init(jax.random.PRNGKey(0), x)
+    # identical params/batch_stats trees => FP32 ckpt loads into quant model
+    t1 = jax.tree_util.tree_structure(v_fp["params"])
+    t2 = jax.tree_util.tree_structure(v_q["params"])
+    assert t1 == t2
+    assert "quant_stats" in v_q and "quant_stats" not in v_fp
+
+    # quantized forward runs and EMA state updates when requested
+    out, new_vars = qm.apply(v_q, x, train=False, update_stats=True,
+                             mutable=["quant_stats"])
+    assert out["hm"].shape == (1, 32, 32, 20)
+    l0 = new_vars["quant_stats"]["layer0_act"]
+    assert float(l0["x_max"][0]) != 0.0
+
+
+def test_convbn_quant_fold_matches_manual():
+    """Quantized ConvBN == manual fold + per-channel symmetric fake-quant +
+    conv (reference QuantBnConv2d semantics, quant_modules.py:364-419)."""
+    from codenet_tpu.models.layers import ConvBN
+    from codenet_tpu.ops import quant as Q
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 6).astype(np.float32))
+    m_fp = ConvBN(10, kernel_size=3, stride=1, padding=1)
+    v = m_fp.init(jax.random.PRNGKey(0), x)
+    # give BN non-trivial running stats
+    v = jax.tree_util.tree_map(lambda a: a, v)
+    stats = {"mean": jnp.asarray(rng.randn(10).astype(np.float32)),
+             "var": jnp.asarray(rng.uniform(0.5, 2, 10).astype(np.float32))}
+    v = {"params": v["params"], "batch_stats": stats}
+
+    qs = QuantSpec()
+    m_q = ConvBN(10, kernel_size=3, stride=1, padding=1, qspec=qs)
+    got = m_q.apply(v, x)
+
+    k = v["params"]["kernel"]
+    g, b = v["params"]["scale"], v["params"]["bias"]
+    w, bias = Q.fold_bn(k, None, g, b, stats["mean"], stats["var"])
+    wq = Q.fake_quant_weight(w, 4, "symmetric", True, False)
+    ref = jax.lax.conv_general_dilated(
+        x, wq, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_quant_act_asymmetric_formula():
+    """QuantAct == reference AsymmetricQuantFunction math (no clamp path)."""
+    from codenet_tpu.ops import quant as Q
+    x = jnp.asarray(np.linspace(-1.3, 2.7, 97, dtype=np.float32))
+    x_min, x_max = jnp.asarray([-1.0]), jnp.asarray([2.5])
+    k = 8
+    got = np.asarray(Q.asymmetric_quant(x, k, x_min, x_max, clamp=False))
+    n = 2 ** k - 1
+    scale = n / (2.5 - (-1.0))
+    zp = round(scale * -1.0) + 2 ** (k - 1)
+    ref = (np.round(scale * np.asarray(x) - zp) + zp) / scale
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+    # STE: gradient is identity
+    g = jax.grad(lambda t: jnp.sum(
+        Q.asymmetric_quant(t, k, x_min, x_max)))(x)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+
+
+def test_symmetric_weight_quant_levels():
+    """4-bit symmetric quant uses levels q/scale, q in [-8, 7], per channel."""
+    from codenet_tpu.ops import quant as Q
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.randn(3, 3, 4, 8).astype(np.float32))
+    wq = np.asarray(Q.fake_quant_weight(w, 4, "symmetric", True, False))
+    wt = np.transpose(np.asarray(w), (3, 0, 1, 2)).reshape(8, -1)
+    wqt = np.transpose(wq, (3, 0, 1, 2)).reshape(8, -1)
+    for c in range(8):
+        mag = np.abs(wt[c]).max()
+        scale = 7.0 / mag
+        q = wqt[c] * scale
+        np.testing.assert_allclose(q, np.round(q), atol=1e-4)
+        assert q.min() >= -8 - 1e-4 and q.max() <= 7 + 1e-4
+
+
+def test_train_mode_updates_batch_stats():
+    model = create_model("shufflenetv2", HEADS, 64)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 128, 3))
+    v = model.init(jax.random.PRNGKey(0), x)
+    _, new_vars = model.apply(v, x, train=True, mutable=["batch_stats"])
+    before = np.asarray(v["batch_stats"]["layer0"]["mean"])
+    after = np.asarray(new_vars["batch_stats"]["layer0"]["mean"])
+    assert not np.allclose(before, after)

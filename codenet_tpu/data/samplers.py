@@ -316,18 +316,281 @@ class DddSampler:
 
 
 class MultiPoseSampler:
-    """COCO keypoint targets (reference sample/multi_pose.py) — ported in a
-    later milestone."""
+    """COCO keypoint targets (reference sample/multi_pose.py:30-184)."""
 
     def get_sample(self, index):
-        raise NotImplementedError(
-            "multi_pose target generation lands with the COCO-HP milestone")
+        img_id = self.images[index]
+        file_name = self.coco.loadImgs(ids=[img_id])[0]["file_name"]
+        img_path = os.path.join(self.img_dir, file_name)
+        anns = self.coco.loadAnns(self.coco.getAnnIds(imgIds=[img_id]))
+        num_objs = min(len(anns), self.max_objs)
+        img = cv2.imread(img_path)
+
+        height, width = img.shape[0], img.shape[1]
+        c = np.array([width / 2.0, height / 2.0], dtype=np.float32)
+        s = max(height, width) * 1.0
+        rot = 0
+
+        flipped = False
+        if self.split == "train":
+            if not self.opt.not_rand_crop:
+                s = s * np.random.choice(np.arange(0.6, 1.4, 0.1))
+                w_border = get_border(128, width)
+                h_border = get_border(128, height)
+                c[0] = np.random.randint(low=w_border, high=width - w_border)
+                c[1] = np.random.randint(low=h_border,
+                                         high=height - h_border)
+            else:
+                sf, cf = self.opt.scale, self.opt.shift
+                c[0] += s * np.clip(np.random.randn() * cf, -2 * cf, 2 * cf)
+                c[1] += s * np.clip(np.random.randn() * cf, -2 * cf, 2 * cf)
+                s = s * np.clip(np.random.randn() * sf + 1, 1 - sf, 1 + sf)
+            if np.random.random() < self.opt.aug_rot:
+                rf = self.opt.rotate
+                rot = np.clip(np.random.randn() * rf, -rf * 2, rf * 2)
+            if np.random.random() < self.opt.flip:
+                flipped = True
+                img = img[:, ::-1, :]
+                c[0] = width - c[0] - 1
+
+        input_res = self.opt.input_res
+        trans_input = get_affine_transform(c, s, rot, [input_res, input_res])
+        inp = cv2.warpAffine(img, np.asarray(trans_input),
+                             (input_res, input_res), flags=cv2.INTER_LINEAR)
+        inp = inp.astype(np.float32) / 255.0
+        if self.split == "train" and not self.opt.no_color_aug:
+            color_aug(self._data_rng, inp, self._eig_val, self._eig_vec)
+        inp = (inp - self.mean) / self.std
+
+        output_res = self.opt.output_res
+        num_joints = self.num_joints
+        trans_output_rot = get_affine_transform(c, s, rot,
+                                                [output_res, output_res])
+        trans_output = get_affine_transform(c, s, 0,
+                                            [output_res, output_res])
+
+        hm = np.zeros((output_res, output_res, self.num_classes), np.float32)
+        hm_hp = np.zeros((output_res, output_res, num_joints), np.float32)
+        dense_kps = np.zeros((num_joints, 2, output_res, output_res),
+                             np.float32)
+        dense_kps_mask = np.zeros((num_joints, output_res, output_res),
+                                  np.float32)
+        wh = np.zeros((self.max_objs, 2), np.float32)
+        kps = np.zeros((self.max_objs, num_joints * 2), np.float32)
+        reg = np.zeros((self.max_objs, 2), np.float32)
+        ind = np.zeros((self.max_objs,), np.int64)
+        reg_mask = np.zeros((self.max_objs,), np.uint8)
+        kps_mask = np.zeros((self.max_objs, num_joints * 2), np.uint8)
+        hp_offset = np.zeros((self.max_objs * num_joints, 2), np.float32)
+        hp_ind = np.zeros((self.max_objs * num_joints,), np.int64)
+        hp_mask = np.zeros((self.max_objs * num_joints,), np.int64)
+
+        draw_gaussian = draw_msra_gaussian if self.opt.mse_loss \
+            else draw_umich_gaussian
+
+        gt_det = []
+        for k in range(num_objs):
+            ann = anns[k]
+            bbox = coco_box_to_bbox(ann["bbox"])
+            cls_id = int(ann["category_id"]) - 1
+            pts = np.array(ann["keypoints"], np.float32).reshape(
+                num_joints, 3)
+            if flipped:
+                bbox[[0, 2]] = width - bbox[[2, 0]] - 1
+                pts[:, 0] = width - pts[:, 0] - 1
+                for e in self.flip_idx:
+                    pts[e[0]], pts[e[1]] = pts[e[1]].copy(), pts[e[0]].copy()
+            bbox[:2] = affine_transform(bbox[:2], trans_output)
+            bbox[2:] = affine_transform(bbox[2:], trans_output)
+            bbox = np.clip(bbox, 0, output_res - 1)
+            h, w = bbox[3] - bbox[1], bbox[2] - bbox[0]
+            if (h > 0 and w > 0) or (rot != 0):
+                radius = gaussian_radius((math.ceil(h), math.ceil(w)))
+                radius = self.opt.hm_gauss if self.opt.mse_loss \
+                    else max(0, int(radius))
+                ct = np.array([(bbox[0] + bbox[2]) / 2,
+                               (bbox[1] + bbox[3]) / 2], dtype=np.float32)
+                ct_int = ct.astype(np.int32)
+                wh[k] = 1.0 * w, 1.0 * h
+                ind[k] = ct_int[1] * output_res + ct_int[0]
+                reg[k] = ct - ct_int
+                reg_mask[k] = 1
+                num_kpts = pts[:, 2].sum()
+                if num_kpts == 0:
+                    hm[ct_int[1], ct_int[0], cls_id] = 0.9999
+                    reg_mask[k] = 0
+
+                hp_radius = gaussian_radius((math.ceil(h), math.ceil(w)))
+                hp_radius = self.opt.hm_gauss if self.opt.mse_loss \
+                    else max(0, int(hp_radius))
+                for j in range(num_joints):
+                    if pts[j, 2] > 0:
+                        pts[j, :2] = affine_transform(pts[j, :2],
+                                                      trans_output_rot)
+                        if 0 <= pts[j, 0] < output_res and \
+                                0 <= pts[j, 1] < output_res:
+                            kps[k, j * 2: j * 2 + 2] = pts[j, :2] - ct_int
+                            kps_mask[k, j * 2: j * 2 + 2] = 1
+                            pt_int = pts[j, :2].astype(np.int32)
+                            hp_offset[k * num_joints + j] = \
+                                pts[j, :2] - pt_int
+                            hp_ind[k * num_joints + j] = \
+                                pt_int[1] * output_res + pt_int[0]
+                            hp_mask[k * num_joints + j] = 1
+                            if self.opt.dense_hp:
+                                hm_sl = np.ascontiguousarray(
+                                    hm[:, :, cls_id])
+                                draw_dense_reg(dense_kps[j], hm_sl, ct_int,
+                                               pts[j, :2] - ct_int, radius,
+                                               is_offset=True)
+                                draw_gaussian(dense_kps_mask[j], ct_int,
+                                              radius)
+                            hp_sl = np.ascontiguousarray(hm_hp[:, :, j])
+                            draw_gaussian(hp_sl, pt_int, hp_radius)
+                            hm_hp[:, :, j] = hp_sl
+                hm_sl = np.ascontiguousarray(hm[:, :, cls_id])
+                draw_gaussian(hm_sl, ct_int, radius)
+                hm[:, :, cls_id] = hm_sl
+                gt_det.append([ct[0] - w / 2, ct[1] - h / 2,
+                               ct[0] + w / 2, ct[1] + h / 2, 1]
+                              + pts[:, :2].reshape(
+                                  num_joints * 2).tolist() + [cls_id])
+        if rot != 0:
+            hm = hm * 0 + 0.9999
+            reg_mask *= 0
+            kps_mask *= 0
+        ret = {"input": inp.astype(np.float32), "hm": hm,
+               "reg_mask": reg_mask, "ind": ind, "wh": wh, "hps": kps,
+               "hps_mask": kps_mask}
+        if self.opt.dense_hp:
+            dense_kps = dense_kps.reshape(num_joints * 2, output_res,
+                                          output_res)
+            dkm = dense_kps_mask.reshape(num_joints, 1, output_res,
+                                         output_res)
+            dkm = np.concatenate([dkm, dkm], axis=1).reshape(
+                num_joints * 2, output_res, output_res)
+            # NHWC for the loss path
+            ret.update({
+                "dense_hps": np.transpose(dense_kps, (1, 2, 0)),
+                "dense_hps_mask": np.transpose(dkm, (1, 2, 0))})
+            del ret["hps"], ret["hps_mask"]
+        if self.opt.reg_offset:
+            ret.update({"reg": reg})
+        if self.opt.hm_hp:
+            ret.update({"hm_hp": hm_hp})
+        if self.opt.reg_hp_offset:
+            ret.update({"hp_offset": hp_offset, "hp_ind": hp_ind,
+                        "hp_mask": hp_mask})
+        if self.opt.debug > 0 or not self.split == "train":
+            gt_det = np.array(gt_det, dtype=np.float32) if len(gt_det) > 0 \
+                else np.zeros((1, 40), dtype=np.float32)
+            ret["meta"] = {"c": c, "s": s, "gt_det": gt_det,
+                           "img_id": img_id}
+        return ret
 
 
 class ExdetSampler:
-    """ExtremeNet targets (reference sample/exdet.py) — ported in a later
-    milestone."""
+    """ExtremeNet targets (reference sample/exdet.py:31-140): 4 extreme-point
+    heatmaps + center heatmap + per-point sub-pixel offsets. Requires
+    annotations with 'extreme_points' (instances_extreme_*.json)."""
 
     def get_sample(self, index):
-        raise NotImplementedError(
-            "exdet target generation lands with the ExtremeNet milestone")
+        img_id = self.images[index]
+        img_info = self.coco.loadImgs(ids=[img_id])[0]
+        img_path = os.path.join(self.img_dir, img_info["file_name"])
+        img = cv2.imread(img_path)
+
+        height, width = img.shape[0], img.shape[1]
+        c = np.array([width / 2.0, height / 2.0])
+        s = max(height, width) * 1.0
+
+        flipped = False
+        if self.split == "train":
+            if not self.opt.not_rand_crop:
+                s = s * np.random.choice(np.arange(0.6, 1.4, 0.1))
+                w_border = get_border(128, width)
+                h_border = get_border(128, height)
+                c[0] = np.random.randint(low=w_border, high=width - w_border)
+                c[1] = np.random.randint(low=h_border,
+                                         high=height - h_border)
+            else:
+                sf, cf = self.opt.scale, self.opt.shift
+                s = s * np.clip(np.random.randn() * sf + 1, 1 - sf, 1 + sf)
+                c[0] += width * np.clip(np.random.randn() * cf,
+                                        -2 * cf, 2 * cf)
+                c[1] += height * np.clip(np.random.randn() * cf,
+                                         -2 * cf, 2 * cf)
+            if np.random.random() < self.opt.flip:
+                flipped = True
+                img = img[:, ::-1, :]
+
+        input_res = self.opt.input_res
+        trans_input = get_affine_transform(c, s, 0, [input_res, input_res])
+        inp = cv2.warpAffine(img, np.asarray(trans_input),
+                             (input_res, input_res), flags=cv2.INTER_LINEAR)
+        inp = inp.astype(np.float32) / 255.0
+        if self.split == "train" and not self.opt.no_color_aug:
+            color_aug(self._data_rng, inp, self._eig_val, self._eig_vec)
+        inp = (inp - self.mean) / self.std
+
+        output_res = self.opt.output_res
+        num_classes = self.opt.num_classes
+        trans_output = get_affine_transform(c, s, 0, [output_res, output_res])
+        num_hm = 1 if self.opt.agnostic_ex else num_classes
+
+        hms = {p: np.zeros((output_res, output_res, num_hm), np.float32)
+               for p in ("t", "l", "b", "r")}
+        hm_c = np.zeros((output_res, output_res, num_classes), np.float32)
+        regs = {p: np.zeros((self.max_objs, 2), np.float32)
+                for p in ("t", "l", "b", "r")}
+        inds = {p: np.zeros((self.max_objs,), np.int64)
+                for p in ("t", "l", "b", "r")}
+        reg_mask = np.zeros((self.max_objs,), np.uint8)
+
+        anns = self.coco.loadAnns(self.coco.getAnnIds(imgIds=[img_id]))
+        num_objs = min(len(anns), self.max_objs)
+        draw_gaussian = draw_msra_gaussian if self.opt.mse_loss \
+            else draw_umich_gaussian
+
+        for k in range(num_objs):
+            ann = anns[k]
+            pts = np.array(ann["extreme_points"],
+                           dtype=np.float32).reshape(4, 2)  # t, l, b, r
+            cls_id = int(self.cat_ids[ann["category_id"]])
+            hm_id = 0 if self.opt.agnostic_ex else cls_id
+            if flipped:
+                pts[:, 0] = width - pts[:, 0] - 1
+                pts[1], pts[3] = pts[3].copy(), pts[1].copy()
+            for j in range(4):
+                pts[j] = affine_transform(pts[j], trans_output)
+            pts = np.clip(pts, 0, output_res - 1)
+            h, w = pts[2, 1] - pts[0, 1], pts[3, 0] - pts[1, 0]
+            if h > 0 and w > 0:
+                radius = max(0, int(gaussian_radius(
+                    (math.ceil(h), math.ceil(w)))))
+                pt_int = pts.astype(np.int32)
+                for pi, p in enumerate(("t", "l", "b", "r")):
+                    sl = np.ascontiguousarray(hms[p][:, :, hm_id])
+                    draw_gaussian(sl, pt_int[pi], radius)
+                    hms[p][:, :, hm_id] = sl
+                    regs[p][k] = pts[pi] - pt_int[pi]
+                    inds[p][k] = pt_int[pi, 1] * output_res + pt_int[pi, 0]
+                ct = [int((pts[3, 0] + pts[1, 0]) / 2),
+                      int((pts[0, 1] + pts[2, 1]) / 2)]
+                sl = np.ascontiguousarray(hm_c[:, :, cls_id])
+                draw_gaussian(sl, ct, radius)
+                hm_c[:, :, cls_id] = sl
+                reg_mask[k] = 1
+
+        ret = {"input": inp.astype(np.float32), "hm_t": hms["t"],
+               "hm_l": hms["l"], "hm_b": hms["b"], "hm_r": hms["r"],
+               "hm_c": hm_c}
+        if self.opt.reg_offset:
+            ret.update({"reg_mask": reg_mask})
+            for p in ("t", "l", "b", "r"):
+                ret["reg_{}".format(p)] = regs[p]
+                ret["ind_{}".format(p)] = inds[p]
+        if self.opt.debug > 0 or not self.split == "train":
+            ret["meta"] = {"c": c, "s": s, "img_id": img_id,
+                           "gt_det": np.zeros((1, 6), np.float32)}
+        return ret

@@ -140,13 +140,16 @@ class BaseDetector:
             pre_time += pre_process_time - scale_start_time
 
             dets = self.process(images, meta["trans_inv"], scale)
-            dets = jax.block_until_ready(dets)
+            # transfer to host INSIDE the timed block: on the axon backend
+            # block_until_ready can return before remote compile/execute
+            # completes, so the host copy is the reliable sync point
+            dets = np.asarray(jax.block_until_ready(dets))
             decode_time = time.time()
             # forward + decode are ONE fused device program here; the whole
             # device time is attributed to 'net' and 'dec' reports 0
             net_time += decode_time - pre_process_time
 
-            dets = self.post_process(np.asarray(dets), meta, scale)
+            dets = self.post_process(dets, meta, scale)
             post_process_time = time.time()
             post_time += post_process_time - decode_time
             detections.append(dets)
@@ -227,8 +230,253 @@ class CtdetDetector(BaseDetector):
         return results
 
 
+def flip_lr(x, flip_idx):
+    """Flip a joint heatmap stack NHWC (N,H,W,J): mirror W and swap
+    left/right joint channels (reference models/utils.py:38-44)."""
+    x = x[:, :, ::-1, :]
+    perm = list(range(x.shape[-1]))
+    for a, b in flip_idx:
+        perm[a], perm[b] = perm[b], perm[a]
+    return x[..., jnp.asarray(perm)]
+
+
+def flip_lr_off(x, flip_idx):
+    """Flip a joint-offset stack NHWC (N,H,W,2J): mirror W, negate x
+    offsets, swap joint pairs (reference models/utils.py:47-56)."""
+    x = x[:, :, ::-1, :]
+    n, h, w, c = x.shape
+    j = c // 2
+    x = x.reshape(n, h, w, j, 2)
+    x = x.at[..., 0].multiply(-1)
+    perm = list(range(j))
+    for a, b in flip_idx:
+        perm[a], perm[b] = perm[b], perm[a]
+    x = x[..., jnp.asarray(perm), :]
+    return x.reshape(n, h, w, c)
+
+
+class DddDetector(BaseDetector):
+    """KITTI 3D detector (reference lib/detectors/ddd.py)."""
+
+    DEFAULT_CALIB = np.array([[707.0493, 0, 604.0814, 45.75831],
+                              [0, 707.0493, 180.5066, -0.3454157],
+                              [0, 0, 1.0, 0.004981016]], dtype=np.float32)
+
+    def __init__(self, opt, variables=None):
+        super().__init__(opt, variables)
+        self.calib = self.DEFAULT_CALIB
+        model = self.model
+        reg_bbox = opt.reg_bbox
+        reg_offset = opt.reg_offset
+        k = opt.K
+
+        @jax.jit
+        def _process(variables, images):
+            out = model.apply(variables, images, train=False)
+            outputs = out if isinstance(out, (list, tuple)) else [out]
+            output = outputs[-1]
+            hm = jax.nn.sigmoid(output["hm"])
+            dep = 1.0 / (jax.nn.sigmoid(output["dep"]) + 1e-6) - 1.0
+            wh = output["wh"] if reg_bbox else None
+            reg = output["reg"] if reg_offset else None
+            return D.ddd_decode(hm, output["rot"], dep, output["dim"],
+                                wh=wh, reg=reg, k=k)
+
+        self._process_fn = _process
+
+    def pre_process(self, image, scale, meta=None):
+        """reference detectors/ddd.py:30-56 (no multi-scale, no flip)."""
+        height, width = image.shape[0:2]
+        inp_height, inp_width = self.opt.input_h, self.opt.input_w
+        c = np.array([width / 2, height / 2], dtype=np.float32)
+        if self.opt.keep_res:
+            s = np.array([inp_width, inp_height], dtype=np.int32)
+        else:
+            s = np.array([width, height], dtype=np.int32)
+        trans_input = get_affine_transform(c, s, 0, [inp_width, inp_height])
+        inp_image = cv2.warpAffine(image, np.asarray(trans_input),
+                                   (inp_width, inp_height),
+                                   flags=cv2.INTER_LINEAR)
+        inp_image = ((inp_image.astype(np.float32) / 255.0 - self.mean)
+                     / self.std).astype(np.float32)
+        images = inp_image[None]
+        calib = meta["calib"] if meta is not None and "calib" in meta \
+            else self.calib
+        meta = {"c": c, "s": s,
+                "out_height": inp_height // self.opt.down_ratio,
+                "out_width": inp_width // self.opt.down_ratio,
+                "calib": calib, "trans_inv": np.zeros((2, 3), np.float32)}
+        return images, meta
+
+    def process(self, images, trans_inv, scale):
+        return self._process_fn(self.variables, jnp.asarray(images))
+
+    def post_process(self, dets, meta, scale=1):
+        from ..utils.post_process import ddd_post_process
+        dets = np.asarray(dets)
+        detections = ddd_post_process(
+            dets.copy(), [meta["c"]], [meta["s"]], [meta["calib"]], self.opt)
+        self.this_calib = meta["calib"]
+        return detections[0]
+
+    def merge_outputs(self, detections):
+        results = detections[0]
+        for j in range(1, self.num_classes + 1):
+            if len(results[j]) > 0:
+                keep_inds = results[j][:, -1] > self.opt.peak_thresh
+                results[j] = results[j][keep_inds]
+        return results
+
+
+class MultiPoseDetector(BaseDetector):
+    """COCO keypoints detector (reference lib/detectors/multi_pose.py)."""
+
+    def __init__(self, opt, variables=None):
+        super().__init__(opt, variables)
+        flip_idx = tuple(tuple(e) for e in opt.flip_idx)
+        model = self.model
+        hm_hp_on = opt.hm_hp
+        reg_offset = opt.reg_offset
+        reg_hp_offset = opt.reg_hp_offset
+        flip_test = opt.flip_test
+        mse_loss = opt.mse_loss
+        k = opt.K
+
+        @jax.jit
+        def _process(variables, images):
+            out = model.apply(variables, images, train=False)
+            outputs = out if isinstance(out, (list, tuple)) else [out]
+            output = outputs[-1]
+            hm = jax.nn.sigmoid(output["hm"])
+            hm_hp = output.get("hm_hp") if hm_hp_on else None
+            if hm_hp is not None and not mse_loss:
+                hm_hp = jax.nn.sigmoid(hm_hp)
+            wh = output["wh"]
+            hps = output["hps"]
+            reg = output["reg"] if reg_offset else None
+            hp_offset = output.get("hp_offset") if reg_hp_offset else None
+            if flip_test:
+                hm = (hm[0:1] + flip_w(hm[1:2])) / 2
+                wh = (wh[0:1] + flip_w(wh[1:2])) / 2
+                hps = (hps[0:1] + flip_lr_off(hps[1:2], flip_idx)) / 2
+                hm_hp = (hm_hp[0:1] + flip_lr(hm_hp[1:2], flip_idx)) / 2 \
+                    if hm_hp is not None else None
+                reg = reg[0:1] if reg is not None else None
+                hp_offset = hp_offset[0:1] if hp_offset is not None else None
+            return D.multi_pose_decode(hm, wh, hps, reg=reg, hm_hp=hm_hp,
+                                       hp_offset=hp_offset, k=k)
+
+        self._process_fn = _process
+
+    def process(self, images, trans_inv, scale):
+        return self._process_fn(self.variables, jnp.asarray(images))
+
+    def post_process(self, dets, meta, scale=1):
+        from ..utils.post_process import multi_pose_post_process
+        dets = np.asarray(dets).reshape(1, -1, dets.shape[2])
+        dets = multi_pose_post_process(
+            dets.copy(), [meta["c"]], [meta["s"]],
+            meta["out_height"], meta["out_width"])
+        for j in range(1, self.num_classes + 1):
+            dets[0][j] = np.array(dets[0][j], dtype=np.float32).reshape(
+                -1, 39)
+            dets[0][j][:, :4] /= scale
+            dets[0][j][:, 5:] /= scale
+        return dets[0]
+
+    def merge_outputs(self, detections):
+        from ..ops.nms import soft_nms_39
+        results = {}
+        results[1] = np.concatenate(
+            [detection[1] for detection in detections],
+            axis=0).astype(np.float32)
+        if self.opt.nms or len(self.opt.test_scales) > 1:
+            soft_nms_39(results[1], Nt=0.5, method=2)
+        results[1] = results[1].tolist()
+        return results
+
+
+class ExdetDetector(BaseDetector):
+    """ExtremeNet detector (reference lib/detectors/exdet.py)."""
+
+    def __init__(self, opt, variables=None):
+        super().__init__(opt, variables)
+        model = self.model
+        agnostic = opt.agnostic_ex
+        reg_offset = opt.reg_offset
+        k = opt.K
+        scores_thresh = opt.scores_thresh
+        center_thresh = opt.center_thresh
+        aggr_weight = opt.aggr_weight
+
+        @jax.jit
+        def _process(variables, images):
+            out = model.apply(variables, images, train=False)
+            outputs = out if isinstance(out, (list, tuple)) else [out]
+            output = outputs[-1]
+            heats = {p: jax.nn.sigmoid(output["hm_{}".format(p)])
+                     for p in ("t", "l", "b", "r", "c")}
+            regrs = [output.get("reg_{}".format(p)) if reg_offset else None
+                     for p in ("t", "l", "b", "r")]
+            return D.exct_decode(
+                heats["t"], heats["l"], heats["b"], heats["r"], heats["c"],
+                *regrs, k=k, scores_thresh=scores_thresh,
+                center_thresh=center_thresh, aggr_weight=aggr_weight,
+                agnostic=agnostic)
+
+        self._process_fn = _process
+
+    def process(self, images, trans_inv, scale):
+        return self._process_fn(self.variables, jnp.asarray(images))
+
+    def post_process(self, dets, meta, scale=1):
+        """reference detectors/exdet.py:86-98: un-flip the flipped copy's
+        boxes, back-project corners."""
+        from ..data.affine import transform_preds
+        out_width, out_height = meta["out_width"], meta["out_height"]
+        dets = np.array(dets)  # writable copy (device transfer is read-only)
+        if dets.shape[0] == 2:  # flip-test pair
+            dets = dets.reshape(2, -1, 14)
+            dets[1, :, [0, 2]] = out_width - dets[1, :, [2, 0]]
+        dets = dets.reshape(1, -1, 14)
+        dets[0, :, 0:2] = transform_preds(dets[0, :, 0:2], meta["c"],
+                                          meta["s"], (out_width, out_height))
+        dets[0, :, 2:4] = transform_preds(dets[0, :, 2:4], meta["c"],
+                                          meta["s"], (out_width, out_height))
+        dets[:, :, 0:4] /= scale
+        return dets[0]
+
+    def merge_outputs(self, detections):
+        """reference detectors/exdet.py:100-124."""
+        detections = np.concatenate(list(detections), axis=0).astype(
+            np.float32)
+        classes = detections[..., -1]
+        keep_inds = detections[:, 4] > 0
+        detections = detections[keep_inds]
+        classes = classes[keep_inds]
+
+        results = {}
+        for j in range(self.num_classes):
+            keep_inds = classes == j
+            results[j + 1] = detections[keep_inds][:, 0:7].astype(np.float32)
+            soft_nms(results[j + 1], Nt=0.5, method=2)
+            results[j + 1] = results[j + 1][:, 0:5]
+        scores = np.hstack([results[j][:, -1]
+                            for j in range(1, self.num_classes + 1)])
+        if len(scores) > self.max_per_image:
+            kth = len(scores) - self.max_per_image
+            thresh = np.partition(scores, kth)[kth]
+            for j in range(1, self.num_classes + 1):
+                keep_inds = results[j][:, -1] >= thresh
+                results[j] = results[j][keep_inds]
+        return results
+
+
 DETECTOR_FACTORY = {
     "ctdet": CtdetDetector,
+    "ddd": DddDetector,
+    "multi_pose": MultiPoseDetector,
+    "exdet": ExdetDetector,
 }
 
 

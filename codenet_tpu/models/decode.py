@@ -129,6 +129,172 @@ def backproject_dets(dets, trans_inv, inv_scale=1.0):
     return jax.vmap(one)(dets, trans_inv)
 
 
+def _directional_aggregate(heat, axis, reverse):
+    """Running conditional accumulation for ExtremeNet edge aggregation
+    (reference decode.py:19-74 _left/_right/_top/_bottom_aggregate):
+    ret[i] = heat[i] + ret[i-1] * (heat[i] >= heat[i-1]); returns ret - heat.
+    Implemented as a lax.scan along `axis`."""
+    h = jnp.moveaxis(heat, axis, 0)
+
+    def step(carry, x):
+        acc = jnp.where(x >= carry["prev"], carry["acc"], 0.0) + x
+        return {"prev": x, "acc": acc}, acc - x
+
+    init = {"prev": h[0], "acc": h[0]}
+    _, extra = jax.lax.scan(step, init, h[1:], reverse=reverse)
+    if reverse:
+        extra = jnp.concatenate([extra, jnp.zeros_like(h[:1])], axis=0)
+    else:
+        extra = jnp.concatenate([jnp.zeros_like(h[:1]), extra], axis=0)
+    return jnp.moveaxis(extra, 0, axis)
+
+
+def h_aggregate(heat, aggr_weight=0.1):
+    """Horizontal edge aggregation, NHWC (W = axis 2)."""
+    return (aggr_weight * _directional_aggregate(heat, 2, False)
+            + aggr_weight * _directional_aggregate(heat, 2, True) + heat)
+
+
+def v_aggregate(heat, aggr_weight=0.1):
+    """Vertical edge aggregation, NHWC (H = axis 1)."""
+    return (aggr_weight * _directional_aggregate(heat, 1, False)
+            + aggr_weight * _directional_aggregate(heat, 1, True) + heat)
+
+
+def exct_decode(t_heat, l_heat, b_heat, r_heat, ct_heat,
+                t_regr=None, l_regr=None, b_regr=None, r_regr=None,
+                k=40, scores_thresh=0.1, center_thresh=0.1, aggr_weight=0.0,
+                num_dets=1000, agnostic=False):
+    """ExtremeNet decode (reference decode.py:281-433 exct_decode and
+    :129-279 agnex_ct_decode via agnostic=True): top-K per extreme-point
+    heatmap, K^4 combinatorics scored by the center heatmap at the implied
+    box center, geometric/class/score rejection, top num_dets.
+
+    All heats are POST-sigmoid NHWC. Returns (N, num_dets, 14):
+    [x1 y1 x2 y2 score tx ty lx ly bx by rx ry cls].
+    """
+    n, height, width, cat = t_heat.shape
+
+    if aggr_weight > 0:
+        t_heat = h_aggregate(t_heat, aggr_weight)
+        l_heat = v_aggregate(l_heat, aggr_weight)
+        b_heat = h_aggregate(b_heat, aggr_weight)
+        r_heat = v_aggregate(r_heat, aggr_weight)
+
+    t_heat = jnp.minimum(heat_nms(t_heat), 1.0)
+    l_heat = jnp.minimum(heat_nms(l_heat), 1.0)
+    b_heat = jnp.minimum(heat_nms(b_heat), 1.0)
+    r_heat = jnp.minimum(heat_nms(r_heat), 1.0)
+
+    t_scores, t_inds, t_clses, t_ys, t_xs = topk(t_heat, k)
+    l_scores, l_inds, l_clses, l_ys, l_xs = topk(l_heat, k)
+    b_scores, b_inds, b_clses, b_ys, b_xs = topk(b_heat, k)
+    r_scores, r_inds, r_clses, r_ys, r_xs = topk(r_heat, k)
+
+    # broadcast to the K^4 lattice: axes (t, l, b, r)
+    def bt(x):  # top varies over axis 1
+        return x[:, :, None, None, None]
+
+    def bl(x):
+        return x[:, None, :, None, None]
+
+    def bb(x):
+        return x[:, None, None, :, None]
+
+    def br(x):
+        return x[:, None, None, None, :]
+
+    t_ys4, t_xs4 = bt(t_ys), bt(t_xs)
+    l_ys4, l_xs4 = bl(l_ys), bl(l_xs)
+    b_ys4, b_xs4 = bb(b_ys), bb(b_xs)
+    r_ys4, r_xs4 = br(r_ys), br(r_xs)
+
+    box_ct_xs = ((l_xs4 + r_xs4 + 0.5) / 2).astype(jnp.int32)
+    box_ct_ys = ((t_ys4 + b_ys4 + 0.5) / 2).astype(jnp.int32)
+
+    if agnostic:
+        ct_agn = jnp.max(ct_heat, axis=-1)  # (N, H, W)
+        ct_cls = jnp.argmax(ct_heat, axis=-1)
+        ct_inds = (box_ct_ys * width + box_ct_xs).reshape(n, -1)
+        ct_scores = jnp.take_along_axis(ct_agn.reshape(n, -1), ct_inds,
+                                        axis=1)
+        clses4 = jnp.take_along_axis(
+            ct_cls.reshape(n, -1), ct_inds, axis=1).astype(jnp.float32)
+        clses4 = clses4.reshape(n, k, k, k, k)
+    else:
+        t_cls4 = bt(t_clses)
+        # class-aware: center read from the top-point's class channel
+        ct_chw = jnp.transpose(ct_heat, (0, 3, 1, 2)).reshape(n, -1)
+        ct_inds = (t_cls4 * (height * width) + box_ct_ys * width
+                   + box_ct_xs).reshape(n, -1)
+        ct_scores = jnp.take_along_axis(ct_chw, ct_inds, axis=1)
+        clses4 = jnp.broadcast_to(t_cls4, (n, k, k, k, k)).astype(
+            jnp.float32)
+    ct_scores = ct_scores.reshape(n, k, k, k, k)
+
+    t_sc4, l_sc4 = bt(t_scores), bl(l_scores)
+    b_sc4, r_sc4 = bb(b_scores), br(r_scores)
+    scores = (t_sc4 + l_sc4 + b_sc4 + r_sc4 + 2 * ct_scores) / 6
+
+    rejected = jnp.zeros(scores.shape, jnp.float32)
+    if not agnostic:
+        cls_bad = ((bt(t_clses) != bl(l_clses))
+                   | (bt(t_clses) != bb(b_clses))
+                   | (bt(t_clses) != br(r_clses)))
+        rejected += cls_bad.astype(jnp.float32)
+    top_bad = (t_ys4 > l_ys4) | (t_ys4 > b_ys4) | (t_ys4 > r_ys4)
+    left_bad = (l_xs4 > t_xs4) | (l_xs4 > b_xs4) | (l_xs4 > r_xs4)
+    bottom_bad = (b_ys4 < t_ys4) | (b_ys4 < l_ys4) | (b_ys4 < r_ys4)
+    right_bad = (r_xs4 < t_xs4) | (r_xs4 < l_xs4) | (r_xs4 < b_xs4)
+    sc_bad = ((t_sc4 < scores_thresh) | (l_sc4 < scores_thresh)
+              | (b_sc4 < scores_thresh) | (r_sc4 < scores_thresh)
+              | (ct_scores < center_thresh))
+    for bad in (sc_bad, top_bad, left_bad, bottom_bad, right_bad):
+        rejected += bad.astype(jnp.float32)
+    scores = scores - rejected
+
+    scores_flat = scores.reshape(n, -1)
+    scores_sel, inds = jax.lax.top_k(scores_flat, num_dets)
+
+    if t_regr is not None and l_regr is not None \
+            and b_regr is not None and r_regr is not None:
+        tr = _gather_feat_nhwc(t_regr.reshape(n, -1, 2), t_inds)
+        lr = _gather_feat_nhwc(l_regr.reshape(n, -1, 2), l_inds)
+        brg = _gather_feat_nhwc(b_regr.reshape(n, -1, 2), b_inds)
+        rr = _gather_feat_nhwc(r_regr.reshape(n, -1, 2), r_inds)
+        t_xs4 = t_xs4 + bt(tr[..., 0])
+        t_ys4 = t_ys4 + bt(tr[..., 1])
+        l_xs4 = l_xs4 + bl(lr[..., 0])
+        l_ys4 = l_ys4 + bl(lr[..., 1])
+        b_xs4 = b_xs4 + bb(brg[..., 0])
+        b_ys4 = b_ys4 + bb(brg[..., 1])
+        r_xs4 = r_xs4 + br(rr[..., 0])
+        r_ys4 = r_ys4 + br(rr[..., 1])
+    else:
+        t_xs4, t_ys4 = t_xs4 + 0.5, t_ys4 + 0.5
+        l_xs4, l_ys4 = l_xs4 + 0.5, l_ys4 + 0.5
+        b_xs4, b_ys4 = b_xs4 + 0.5, b_ys4 + 0.5
+        r_xs4, r_ys4 = r_xs4 + 0.5, r_ys4 + 0.5
+
+    def pick(x4):
+        flat = jnp.broadcast_to(x4, (n, k, k, k, k)).reshape(n, -1)
+        return jnp.take_along_axis(flat, inds, axis=1)[..., None]
+
+    bboxes = jnp.concatenate([pick(l_xs4), pick(t_ys4), pick(r_xs4),
+                              pick(b_ys4)], axis=2)
+    detections = jnp.concatenate(
+        [bboxes, scores_sel[..., None], pick(t_xs4), pick(t_ys4),
+         pick(l_xs4), pick(l_ys4), pick(b_xs4), pick(b_ys4), pick(r_xs4),
+         pick(r_ys4), pick(clses4)], axis=2)
+    return detections
+
+
+def agnex_ct_decode(t_heat, l_heat, b_heat, r_heat, ct_heat, **kw):
+    """Category-agnostic ExtremeNet decode (reference decode.py:129-279)."""
+    return exct_decode(t_heat, l_heat, b_heat, r_heat, ct_heat,
+                       agnostic=True, **kw)
+
+
 def ddd_decode(heat, rot, depth, dim, wh=None, reg=None, k=40):
     """KITTI 3D decode (reference decode.py:435-471). heat post-sigmoid.
 

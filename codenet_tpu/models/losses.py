@@ -250,8 +250,32 @@ def multi_pose_loss(outputs, batch, opt):
                   "wh_loss": wh_loss, "off_loss": off_loss}
 
 
+def exdet_loss(outputs, batch, opt):
+    """ExdetLoss (reference trains/exdet.py:18-42): focal on the 5 extreme
+    heatmaps + masked L1 on the 4 corner offsets."""
+    hm_loss = reg_loss_ = 0.0
+    num_stacks = len(outputs)
+    parts = ["t", "l", "b", "r", "c"]
+    for output in outputs:
+        for p in parts:
+            tag = "hm_{}".format(p)
+            hm = sigmoid_clamped(output[tag])
+            if opt.mse_loss:
+                hm_loss += mse_loss(hm, batch[tag]) / num_stacks
+            else:
+                hm_loss += neg_loss(hm, batch[tag]) / num_stacks
+            if p != "c" and opt.reg_offset and opt.off_weight > 0:
+                reg_loss_ += reg_l1_loss(
+                    output["reg_{}".format(p)], batch["reg_mask"],
+                    batch["ind_{}".format(p)],
+                    batch["reg_{}".format(p)]) / num_stacks
+    loss = opt.hm_weight * hm_loss + opt.off_weight * reg_loss_
+    return loss, {"loss": loss, "off_loss": reg_loss_, "hm_loss": hm_loss}
+
+
 LOSS_FACTORY = {
     "ctdet": ctdet_loss,
     "ddd": ddd_loss,
     "multi_pose": multi_pose_loss,
+    "exdet": exdet_loss,
 }

@@ -41,6 +41,26 @@ def compute_orientation_3d(dim, location, rotation_y):
     return orientation_3d.transpose(1, 0)
 
 
+def draw_box_3d(image, corners, c=(0, 0, 255)):
+    """Wireframe a projected 3D box (reference ddd_utils.py:53-68)."""
+    import cv2
+    face_idx = [[0, 1, 5, 4], [1, 2, 6, 5], [2, 3, 7, 6], [3, 0, 4, 7]]
+    for ind_f in range(3, -1, -1):
+        f = face_idx[ind_f]
+        for j in range(4):
+            cv2.line(image, (corners[f[j], 0], corners[f[j], 1]),
+                     (corners[f[(j + 1) % 4], 0], corners[f[(j + 1) % 4], 1]),
+                     c, 2, lineType=cv2.LINE_AA)
+        if ind_f == 0:
+            cv2.line(image, (corners[f[0], 0], corners[f[0], 1]),
+                     (corners[f[2], 0], corners[f[2], 1]), c, 1,
+                     lineType=cv2.LINE_AA)
+            cv2.line(image, (corners[f[1], 0], corners[f[1], 1]),
+                     (corners[f[3], 0], corners[f[3], 1]), c, 1,
+                     lineType=cv2.LINE_AA)
+    return image
+
+
 def unproject_2d_to_3d(pt_2d, depth, P):
     """Invert the pinhole projection at a known depth."""
     z = depth - P[2, 3]

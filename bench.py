@@ -2,9 +2,14 @@
 """Throughput benchmark: ctdet inference images/sec/chip at 256x256.
 
 Runs the fused forward+decode program (the config-a inference path) on the
-real TPU chip, sweeps batch size, and prints ONE JSON line. Baseline for
-vs_baseline: 2000 img/s/chip (BASELINE.md rebuild target; the reference's
-own numbers are FPGA fps — 32.2 fps config a — not comparable hardware).
+real TPU chip and prints ONE JSON line. Baseline for vs_baseline: 2000
+img/s/chip (BASELINE.md rebuild target; the reference's own numbers are
+FPGA fps — 32.2 fps config a — not comparable hardware).
+
+Timing note: on the axon backend `block_until_ready` is a no-op, so every
+measurement closes with a scalar host transfer, which is the only reliable
+sync point. The benchmarked program therefore returns a checksum scalar in
+addition to the detections it computes.
 """
 
 from __future__ import annotations
@@ -12,13 +17,12 @@ from __future__ import annotations
 import json
 import time
 
-import numpy as np
 
-
-def bench_ctdet(input_res=256, batches=(32, 64, 128), iters=20,
+def bench_ctdet(input_res=256, batches=(64, 128, 256), iters=100, warm=30,
                 dtype="bfloat16"):
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from codenet_tpu.models import create_model
     from codenet_tpu.models import decode as D
 
@@ -26,25 +30,27 @@ def bench_ctdet(input_res=256, batches=(32, 64, 128), iters=20,
     compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
     model = create_model("shufflenetv2", heads, 64, dtype=compute_dtype)
 
-    best = 0.0
-    best_bs = 0
+    best, best_bs = 0.0, 0
     for bs in batches:
-        x = jnp.zeros((bs, input_res, input_res, 3), jnp.float32)
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(bs, input_res, input_res, 3)
+            .astype(np.float32))
         variables = model.init(jax.random.PRNGKey(0), x)
 
         @jax.jit
         def infer(variables, images):
             out = model.apply(variables, images, train=False)
             hm = jax.nn.sigmoid(out["hm"])
-            return D.ctdet_decode(hm, out["wh"], out["reg"], k=100)
+            dets = D.ctdet_decode(hm, out["wh"], out["reg"], k=100)
+            return dets, jnp.sum(dets[..., 4])
 
-        # warmup/compile
-        jax.block_until_ready(infer(variables, x))
-        jax.block_until_ready(infer(variables, x))
+        for _ in range(warm):
+            dets, chk = infer(variables, x)
+        float(chk)  # hard sync
         t0 = time.perf_counter()
         for _ in range(iters):
-            dets = infer(variables, x)
-        jax.block_until_ready(dets)
+            dets, chk = infer(variables, x)
+        float(chk)  # hard sync
         dt = time.perf_counter() - t0
         ips = bs * iters / dt
         if ips > best:

@@ -46,7 +46,8 @@ class BaseDetector:
                               wt_mode="symmetric", act_mode="asymmetric",
                               per_channel=True,
                               wt_percentile=opt.wt_percentile,
-                              act_percentile=opt.act_percentile)
+                              act_percentile=opt.act_percentile,
+                              int8_infer=getattr(opt, "int8_infer", False))
         self.qspec = qspec
         self.model = create_model(opt.arch, opt.heads, opt.head_conv,
                                   w2=opt.w2, maxpool=opt.maxpool, qspec=qspec)

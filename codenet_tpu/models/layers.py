@@ -25,7 +25,29 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import quant as Q
+from ..ops.quant import QTensor
 from ..ops.deform_conv import codesign_deform_conv
+
+
+def qt_spatial(fn, x):
+    """Apply a quantization-transparent spatial op (slice/concat/shuffle/
+    maxpool/nearest-upsample) to a float array or a QTensor's values."""
+    if isinstance(x, QTensor):
+        return QTensor(fn(x.values), x.scale, x.zero_point)
+    return fn(x)
+
+
+def qt_concat(xs, axis=-1):
+    """Concat float arrays or same-scale QTensors (the stage-shared
+    activation quantizer guarantees matching scales at merge points)."""
+    if isinstance(xs[0], QTensor):
+        return QTensor(jnp.concatenate([x.values for x in xs], axis=axis),
+                       xs[0].scale, xs[0].zero_point)
+    return jnp.concatenate(xs, axis=axis)
+
+
+def as_float(x):
+    return x.dequant() if isinstance(x, QTensor) else x
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +64,9 @@ class QuantSpec:
     per_channel: bool = True
     wt_percentile: bool = False
     act_percentile: bool = False
+    # real-int8 inference lowering: QuantActs emit int8 QTensors and convs
+    # run integer MXU matmuls with fused requantization (ops/quant.py)
+    int8_infer: bool = False
 
 
 def torch_conv_init(groups=1):
@@ -173,10 +198,16 @@ class QuantAct(nn.Module):
         x_min = self.variable("quant_stats", "x_min", lambda: jnp.zeros(1))
         x_max = self.variable("quant_stats", "x_max", lambda: jnp.zeros(1))
         if update and not self.is_initializing():
+            assert not self.qspec.int8_infer, \
+                "int8 inference runs with frozen activation ranges"
             bmin, bmax = Q.act_range_observe(x, self.qspec.act_percentile)
             nmin, nmax = Q.ema_update(x_min.value, x_max.value, bmin, bmax)
             x_min.value = nmin
             x_max.value = nmax
+        if self.qspec.int8_infer and self.mode == "asymmetric":
+            return Q.quantize_act_int8(x.astype(jnp.float32),
+                                       self.qspec.a_bit, x_min.value,
+                                       x_max.value)
         xf = x.astype(jnp.float32)
         out = Q.fake_quant_act(xf, self.qspec.a_bit, x_min.value, x_max.value,
                                self.mode)
@@ -200,20 +231,29 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        is_qt = isinstance(x, QTensor)
+        cin = (x.values if is_qt else x).shape[-1]
         kinit = self.kernel_init or torch_conv_init(self.groups)
         kernel = self.param(
             "kernel", kinit,
             (self.kernel_size, self.kernel_size, cin // self.groups,
              self.features))
+        bias = self.param("bias", self.bias_init, (self.features,)) \
+            if self.use_bias else None
+        if is_qt and self.qspec is not None and self.qspec.int8_infer:
+            q_w, w_scale = Q.quantize_weight_int(
+                kernel, self.w_bit or self.qspec.w_bit,
+                self.qspec.per_channel, self.qspec.wt_percentile)
+            return Q.int8_conv(x, q_w, w_scale, bias, self.stride,
+                               self.padding, self.groups)
+        x = as_float(x)
         if self.qspec is not None:
             kernel = Q.fake_quant_weight(
                 kernel, self.w_bit or self.qspec.w_bit, self.qspec.wt_mode,
                 self.qspec.per_channel, self.qspec.wt_percentile)
         y = conv2d(x, kernel, self.stride, self.padding, self.groups,
                    dtype=self.dtype)
-        if self.use_bias:
-            bias = self.param("bias", self.bias_init, (self.features,))
+        if bias is not None:
             y = y + bias.astype(y.dtype)[None, None, None, :]
         return y
 
@@ -241,7 +281,8 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cin = x.shape[-1]
+        is_qt = isinstance(x, QTensor)
+        cin = (x.values if is_qt else x).shape[-1]
         f = self.features
         kinit = self.kernel_init or torch_conv_init(self.groups)
         kernel = self.param(
@@ -255,12 +296,20 @@ class ConvBN(nn.Module):
         if self.qspec is not None:
             w, b = Q.fold_bn(kernel, None, gamma, beta, ra_mean.value,
                              ra_var.value, self.eps)
+            if is_qt and self.qspec.int8_infer:
+                q_w, w_scale = Q.quantize_weight_int(
+                    w, self.w_bit or self.qspec.w_bit,
+                    self.qspec.per_channel, self.qspec.wt_percentile)
+                return Q.int8_conv(x, q_w, w_scale, b, self.stride,
+                                   self.padding, self.groups)
+            x = as_float(x)
             w = Q.fake_quant_weight(
                 w, self.w_bit or self.qspec.w_bit, self.qspec.wt_mode,
                 self.qspec.per_channel, self.qspec.wt_percentile)
             y = conv2d(x, w, self.stride, self.padding, self.groups,
                        dtype=self.dtype)
             return y + b.astype(y.dtype)[None, None, None, :]
+        x = as_float(x)
 
         y = conv2d(x, kernel, self.stride, self.padding, self.groups,
                    dtype=self.dtype)
@@ -307,7 +356,7 @@ class CodesignDeformBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_stats: bool = False):
-        cin = x.shape[-1]
+        cin = (x.values if isinstance(x, QTensor) else x).shape[-1]
         # 1x1 scale predictor, weight zero / bias one init
         # (modules/dcn_deform_conv.py:295-302)
         conv_scale = Conv(1, kernel_size=1, stride=1, padding=0,
@@ -315,10 +364,11 @@ class CodesignDeformBlock(nn.Module):
                           kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.ones,
                           name="conv_scale")
-        s = conv_scale(x.astype(jnp.float32))
+        s = conv_scale(x)
         s = hardtanh(s, -self.offset_bound + 1, self.offset_bound)
         s = QuantAct(self.qspec, mode="asymmetric", name="scale_act")(
             s, update=update_stats)
+        s = as_float(s)
 
         dw_kernel = self.param("deform_kernel", deform_weight_init(cin),
                                (3, 3, 1, cin))
@@ -326,7 +376,9 @@ class CodesignDeformBlock(nn.Module):
             dw_kernel = Q.fake_quant_weight(
                 dw_kernel, self.qspec.w_bit, self.qspec.wt_mode,
                 self.qspec.per_channel, self.qspec.wt_percentile)
-        y = codesign_deform_conv(x, s, dw_kernel)
+        # bilinear gather needs the float domain; integer inputs dequantize
+        # here (the sampled values feed the quantized 1x1 mixer next)
+        y = codesign_deform_conv(as_float(x), s, dw_kernel)
 
         y = QuantAct(self.qspec, mode=self.qspec.act_mode if self.qspec
                      else "asymmetric", name="deform_act")(

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from .layers import (BatchNorm, CodesignDeformBlock, Conv, ConvBN, QuantAct,
                      QuantSpec, channel_shuffle, kaiming_normal_relu,
-                     max_pool, upsample_nearest_2x)
+                     max_pool, qt_concat, qt_spatial, upsample_nearest_2x)
 
 
 class BaseNode(nn.Module):
@@ -55,12 +55,13 @@ class BaseNode(nn.Module):
         amode = q.act_mode if q else "asymmetric"
 
         if self.stride == 1:
-            split = x.shape[-1] // 2
-            x1 = x[..., :split]
-            x2 = x[..., split:]
+            xv = x.values if hasattr(x, "values") else x
+            split = xv.shape[-1] // 2
+            x1 = qt_spatial(lambda v: v[..., :split], x)
+            x2 = qt_spatial(lambda v: v[..., split:], x)
             x1_needs_share = False
         else:
-            cin = x.shape[-1]
+            cin = (x.values if hasattr(x, "values") else x).shape[-1]
             # branch 1: dw s2 + BN -> pw + BN + ReLU
             b1 = ConvBN(cin, kernel_size=3, stride=2, padding=1, groups=cin,
                         qspec=q, dtype=self.dtype, name="b1_conv1")(
@@ -106,7 +107,8 @@ class Stage(nn.Module):
             if share_x1:
                 x1 = share(x1, update=update_stats)
             x2 = share(x2, update=update_stats)
-            x = channel_shuffle(jnp.concatenate([x1, x2], axis=-1), 2)
+            x = qt_spatial(lambda v: channel_shuffle(v, 2),
+                           qt_concat([x1, x2]))
         return x
 
 
@@ -171,7 +173,7 @@ class PoseShuffleNetV2(nn.Module):
             y = nn.relu(y)
             y = QuantAct(q, mode="asymmetric", name="layer0_act")(
                 y, update=update_stats)
-            y = max_pool(y, 3, 2, 1)
+            y = qt_spatial(lambda v: max_pool(v, 3, 2, 1), y)
         else:
             y = ConvBN(channels[0], kernel_size=3, stride=4, padding=1,
                        qspec=q, w_bit=8, dtype=self.dtype, name="layer0")(
@@ -202,7 +204,7 @@ class PoseShuffleNetV2(nn.Module):
             y = nn.relu(y)
             y = QuantAct(q, mode="asymmetric", name=f"deconv{i}_act")(
                 y, update=update_stats)
-            y = upsample_nearest_2x(y)
+            y = qt_spatial(upsample_nearest_2x, y)
 
         out = {}
         for name, classes in self.heads:

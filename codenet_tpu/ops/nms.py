@@ -16,8 +16,32 @@ from __future__ import annotations
 
 import numpy as np
 
+_native = None
+_native_checked = False
+
+
+def _get_native():
+    """Lazily load the C++ extension (codenet_tpu/native); None = fallback."""
+    global _native, _native_checked
+    if not _native_checked:
+        _native_checked = True
+        try:
+            from ..native import load_nms
+            _native = load_nms()
+        except Exception:
+            _native = None
+    return _native
+
 
 def nms(dets, thresh):
+    native = _get_native()
+    if native is not None and dets.dtype == np.float32 \
+            and dets.flags["C_CONTIGUOUS"]:
+        return native.nms(dets, float(thresh))
+    return _nms_numpy(dets, thresh)
+
+
+def _nms_numpy(dets, thresh):
     """Greedy hard NMS (reference nms.pyx:24-75). Returns kept indices."""
     x1, y1, x2, y2 = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3]
     scores = dets[:, 4]
@@ -53,6 +77,16 @@ def soft_nms(boxes, sigma=0.5, Nt=0.3, threshold=0.001, method=0):
     method: 0 hard, 1 linear, 2 gaussian. Returns keep = list(range(N'))
     where N' is the shrunk logical count, exactly like the Cython version.
     """
+    native = _get_native()
+    if native is not None and boxes.dtype == np.float32 \
+            and boxes.flags["C_CONTIGUOUS"]:
+        return native.soft_nms(boxes, sigma=float(sigma), Nt=float(Nt),
+                               threshold=float(threshold),
+                               method=int(method))
+    return _soft_nms_numpy(boxes, sigma, Nt, threshold, method)
+
+
+def _soft_nms_numpy(boxes, sigma=0.5, Nt=0.3, threshold=0.001, method=0):
     N = boxes.shape[0]
     i = 0
     while i < N:
@@ -92,6 +126,16 @@ def soft_nms(boxes, sigma=0.5, Nt=0.3, threshold=0.001, method=0):
 def soft_nms_39(boxes, sigma=0.5, Nt=0.3, threshold=0.001, method=0):
     """39-column keypoint variant (reference nms.pyx:172-275): same score
     logic, rows carry bbox(4)+score+kps(34)."""
+    native = _get_native()
+    if native is not None and boxes.dtype == np.float32 \
+            and boxes.flags["C_CONTIGUOUS"]:
+        return native.soft_nms_39(boxes, sigma=float(sigma), Nt=float(Nt),
+                                  threshold=float(threshold),
+                                  method=int(method))
+    return _soft_nms_39_numpy(boxes, sigma, Nt, threshold, method)
+
+
+def _soft_nms_39_numpy(boxes, sigma=0.5, Nt=0.3, threshold=0.001, method=0):
     N = boxes.shape[0]
     i = 0
     while i < N:

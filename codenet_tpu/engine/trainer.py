@@ -92,6 +92,42 @@ def make_val_step(model, loss_fn, loss_opts):
     return val_step
 
 
+def make_oracle_val_step(model, loss_fn, loss_opts, opt):
+    """Unjitted val step with ground-truth head substitution — the
+    --eval_oracle_* upper-bound probes (reference trains/ctdet.py:36-47,
+    utils/oracle_utils.py)."""
+    from ..utils.oracle import gen_oracle_map
+
+    def val_step(variables, batch):
+        out = model.apply(variables, batch["input"], train=False)
+        outputs = list(out) if isinstance(out, (list, tuple)) else [out]
+        subbed = []
+        for output in outputs:
+            output = dict(output)
+            h, w = output[next(iter(output))].shape[1:3]
+            if getattr(opt, "eval_oracle_hm", False) and "hm" in output:
+                # heads are pre-sigmoid; substitute logits of the GT map
+                gt = np.clip(np.asarray(batch["hm"]), 1e-4, 1 - 1e-4)
+                output["hm"] = jnp.asarray(np.log(gt / (1 - gt)))
+            if getattr(opt, "eval_oracle_wh", False) and "wh" in output:
+                output["wh"] = jnp.asarray(gen_oracle_map(
+                    np.asarray(batch["wh"]), np.asarray(batch["ind"]),
+                    w, h))
+            if getattr(opt, "eval_oracle_offset", False) and "reg" in output:
+                output["reg"] = jnp.asarray(gen_oracle_map(
+                    np.asarray(batch["reg"]), np.asarray(batch["ind"]),
+                    w, h))
+            if getattr(opt, "eval_oracle_dep", False) and "dep" in output:
+                output["dep"] = jnp.asarray(gen_oracle_map(
+                    np.asarray(batch["dep"]), np.asarray(batch["ind"]),
+                    w, h))
+            subbed.append(output)
+        _, stats = loss_fn(subbed, batch, loss_opts)
+        return stats
+
+    return val_step
+
+
 class Trainer:
     """Epoch-loop engine (reference base_trainer.py:23-119)."""
 
@@ -109,8 +145,15 @@ class Trainer:
         self.train_step = make_train_step(self.model, self.loss_fn,
                                           self.loss_opts, self.tx,
                                           quantized=qspec is not None)
-        self.val_step = make_val_step(self.model, self.loss_fn,
-                                      self.loss_opts)
+        oracle_on = any(getattr(opt, f, False) for f in
+                        ("eval_oracle_hm", "eval_oracle_wh",
+                         "eval_oracle_offset", "eval_oracle_dep"))
+        if oracle_on:
+            self.val_step = make_oracle_val_step(self.model, self.loss_fn,
+                                                 self.loss_opts, opt)
+        else:
+            self.val_step = make_val_step(self.model, self.loss_fn,
+                                          self.loss_opts)
         self.variables = None
         self.opt_state = None
 

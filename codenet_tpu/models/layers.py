@@ -350,6 +350,7 @@ class CodesignDeformBlock(nn.Module):
     to the caller.
     """
     features: int
+    stride: int = 1
     offset_bound: int = 8
     qspec: Optional[QuantSpec] = None
     dtype: Optional[jnp.dtype] = None
@@ -357,9 +358,9 @@ class CodesignDeformBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, update_stats: bool = False):
         cin = (x.values if isinstance(x, QTensor) else x).shape[-1]
-        # 1x1 scale predictor, weight zero / bias one init
-        # (modules/dcn_deform_conv.py:295-302)
-        conv_scale = Conv(1, kernel_size=1, stride=1, padding=0,
+        # 1x1 scale predictor at the module stride (output space), weight
+        # zero / bias one init (modules/dcn_deform_conv.py:295-302)
+        conv_scale = Conv(1, kernel_size=1, stride=self.stride, padding=0,
                           use_bias=True, qspec=self.qspec,
                           kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.ones,
@@ -378,7 +379,18 @@ class CodesignDeformBlock(nn.Module):
                 self.qspec.per_channel, self.qspec.wt_percentile)
         # bilinear gather needs the float domain; integer inputs dequantize
         # here (the sampled values feed the quantized 1x1 mixer next)
-        y = codesign_deform_conv(as_float(x), s, dw_kernel)
+        xf = as_float(x)
+        hw = xf.shape[1] * xf.shape[2]
+        if (self.dtype == jnp.bfloat16 and self.stride == 1
+                and (hw <= 128 or hw % 128 == 0)):
+            # VMEM-resident Pallas kernel (bf16 perf path); f32/QAT keeps
+            # the exact XLA formulation
+            from ..ops.deform_pallas import codesign_deform_conv_fast
+            y = codesign_deform_conv_fast(xf.astype(jnp.bfloat16),
+                                          s.astype(jnp.float32),
+                                          dw_kernel.astype(jnp.bfloat16))
+        else:
+            y = codesign_deform_conv(xf, s, dw_kernel, stride=self.stride)
 
         y = QuantAct(self.qspec, mode=self.qspec.act_mode if self.qspec
                      else "asymmetric", name="deform_act")(

@@ -41,7 +41,23 @@ class BaseNode(nn.Module):
     oup: int
     stride: int
     qspec: Optional[QuantSpec] = None
+    deform: bool = False
     dtype: Optional[jnp.dtype] = None
+
+    def _dw(self, name, features, stride):
+        """The 3x3 depthwise conv(+BN): plain, or the co-designed deform
+        variant when deform_backbone is on (reference
+        shufflenetv2_dcn.py:216-230 conv_kernel selection; quantized
+        counterpart QuantBaseNodeDeform, quant_modules.py:915-1010)."""
+        if self.deform:
+            block = CodesignDeformBlock(features, stride=stride,
+                                        qspec=self.qspec, dtype=self.dtype,
+                                        name=name)
+            return lambda x, train: block(x, train=train)
+        conv = ConvBN(features, kernel_size=3, stride=stride, padding=1,
+                      groups=features, qspec=self.qspec, dtype=self.dtype,
+                      name=name)
+        return lambda x, train: conv(x, train=train)
 
     @nn.compact
     def __call__(self, x, train: bool = False, update_stats: bool = False):
@@ -63,9 +79,7 @@ class BaseNode(nn.Module):
         else:
             cin = (x.values if hasattr(x, "values") else x).shape[-1]
             # branch 1: dw s2 + BN -> pw + BN + ReLU
-            b1 = ConvBN(cin, kernel_size=3, stride=2, padding=1, groups=cin,
-                        qspec=q, dtype=self.dtype, name="b1_conv1")(
-                x, train=train)
+            b1 = self._dw("b1_conv1", cin, 2)(x, train)
             b1 = QuantAct(q, mode=amode, name="b1_act1")(b1, update=update_stats)
             b1 = ConvBN(oup_inc, kernel_size=1, stride=1, padding=0, qspec=q,
                         dtype=self.dtype, name="b1_conv2")(b1, train=train)
@@ -78,9 +92,7 @@ class BaseNode(nn.Module):
                    dtype=self.dtype, name="b2_conv1")(x2, train=train)
         y = nn.relu(y)
         y = QuantAct(q, mode="asymmetric", name="b2_act1")(y, update=update_stats)
-        y = ConvBN(oup_inc, kernel_size=3, stride=self.stride, padding=1,
-                   groups=oup_inc, qspec=q, dtype=self.dtype,
-                   name="b2_conv2")(y, train=train)
+        y = self._dw("b2_conv2", oup_inc, self.stride)(y, train)
         y = QuantAct(q, mode=amode, name="b2_act2")(y, update=update_stats)
         y = ConvBN(oup_inc, kernel_size=1, stride=1, padding=0, qspec=q,
                    dtype=self.dtype, name="b2_conv3")(y, train=train)
@@ -95,6 +107,7 @@ class Stage(nn.Module):
     oup: int
     repeats: int
     qspec: Optional[QuantSpec] = None
+    deform: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -102,7 +115,7 @@ class Stage(nn.Module):
         share = QuantAct(self.qspec, mode="asymmetric", name="share_act")
         for i in range(self.repeats + 1):
             node = BaseNode(self.oup, 2 if i == 0 else 1, self.qspec,
-                            self.dtype, name=f"node{i}")
+                            self.deform, self.dtype, name=f"node{i}")
             x1, x2, share_x1 = node(x, train, update_stats)
             if share_x1:
                 x1 = share(x1, update=update_stats)
@@ -154,6 +167,7 @@ class PoseShuffleNetV2(nn.Module):
     head_conv: int = 64
     w2: bool = False
     maxpool: bool = False
+    deform_backbone: bool = False
     qspec: Optional[QuantSpec] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -184,8 +198,9 @@ class PoseShuffleNetV2(nn.Module):
 
         # stages 1-3, repeats [3, 7, 3] (reference :214-231)
         for idx, repeats in enumerate([3, 7, 3]):
-            y = Stage(channels[idx + 1], repeats, q, self.dtype,
-                      name=f"layer{idx + 1}")(y, train, update_stats)
+            y = Stage(channels[idx + 1], repeats, q, self.deform_backbone,
+                      self.dtype, name=f"layer{idx + 1}")(y, train,
+                                                          update_stats)
 
         # layer4: 1x1 expand (reference :233-235)
         y = ConvBN(channels[4], kernel_size=1, stride=1, padding=0, qspec=q,
@@ -215,11 +230,14 @@ class PoseShuffleNetV2(nn.Module):
 
 
 def get_shufflenetv2_dcn(num_layers, heads, head_conv=64, w2=False,
-                         maxpool=False, qspec=None, dtype=None):
+                         maxpool=False, deform_backbone=False, qspec=None,
+                         dtype=None):
     """Factory (reference shufflenetv2_dcn.py:364-373) — with w2/maxpool
-    actually honored."""
+    actually honored, plus the deform-in-backbone variant the reference
+    gates behind `deform=True`."""
     del num_layers  # reference ignores it too
     heads_t = tuple(sorted(heads.items())) if isinstance(heads, dict) \
         else tuple(heads)
     return PoseShuffleNetV2(heads=heads_t, head_conv=head_conv, w2=w2,
-                            maxpool=maxpool, qspec=qspec, dtype=dtype)
+                            maxpool=maxpool, deform_backbone=deform_backbone,
+                            qspec=qspec, dtype=dtype)

@@ -1,0 +1,140 @@
+"""Pallas TPU kernel for the co-designed deformable depthwise convolution.
+
+The XLA-gather formulation (deform_conv.py) materializes 4 corner gathers
+x 9 taps of the full feature map in HBM — measured ~22 ms of a 38 ms
+ctdet-256 forward (profiled on v5e). This kernel exploits two facts:
+
+1. CoDeNet's deconv feature maps are tiny (8x8x1024, 16x16x256, 32x32x128
+   at 256 input) — map + scratch fit comfortably in VMEM (~16 MB/core).
+2. A bilinear gather is a sparse matmul: for tap t, sample_t = B_t @ X
+   where B_t[p, q] holds the 4 bilinear corner weights of output position p
+   against flattened input position q. Building B_t in VMEM via iota
+   comparisons and contracting on the MXU replaces HBM gather traffic with
+   dense FLOPs the MXU is idle for anyway.
+
+Per grid step (one image): load X (HW, C) and the scale map s; for each of
+the 9 taps build B_t (HW, HW) from `anchor_t * (s - 1)` displacements
+(boundary zeroing folded into the weights — identical semantics to the
+reference CUDA bilinear, dcn_deform_conv_cuda_kernel.cu:84-115) and
+accumulate (B_t @ X) * w[t] into the output. Depthwise weights w: (9, C).
+
+Gradients: wrapped in jax.custom_vjp with the backward recomputed through
+the XLA formulation (training keeps exact reference gradients; inference
+takes the fast path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .deform_conv import ANCHOR_OFFSETS, codesign_deform_conv as _xla_impl
+
+
+def _make_b(s, py, px, ai, aj, q_iota, h, w_dim):
+    """Bilinear interpolation matrix rows for tap (ai, aj): (tile, HW)."""
+    sy = py + ai * s
+    sx = px + aj * s
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    fy = sy - y0
+    fx = sx - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    B = None
+    for dy, dx, wgt in ((0, 0, (1 - fy) * (1 - fx)),
+                        (0, 1, (1 - fy) * fx),
+                        (1, 0, fy * (1 - fx)),
+                        (1, 1, fy * fx)):
+        yi = y0i + dy
+        xi = x0i + dx
+        valid = ((yi >= 0) & (yi < h) & (xi >= 0)
+                 & (xi < w_dim)).astype(jnp.float32)
+        idx = jnp.clip(yi, 0, h - 1) * w_dim + jnp.clip(xi, 0, w_dim - 1)
+        term = (wgt * valid) * (q_iota == idx).astype(jnp.float32)
+        B = term if B is None else B + term
+    return B
+
+
+def _kernel(x_ref, s_ref, w_ref, o_ref, *, h, w_dim, tile, img_block, taps):
+    """One (image-block, row-tile) grid step: for each of `img_block`
+    images, build per-tap interpolation matrices (tile, HW) in VMEM and
+    contract with the image's flattened map on the MXU."""
+    hw = h * w_dim
+    c = x_ref.shape[-1]
+    j = pl.program_id(1)
+    row0 = j * tile
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + row0
+    py = (pos // w_dim).astype(jnp.float32)
+    px = (pos % w_dim).astype(jnp.float32)
+    q_iota = jax.lax.broadcasted_iota(jnp.int32, (tile, hw), 1)
+
+    for ib in range(img_block):
+        x = x_ref[ib].reshape(hw, c)
+        s = s_ref[ib]  # (tile, 1)
+        acc = jnp.zeros((tile, c), jnp.float32)
+        for t, (ai, aj) in enumerate(taps):
+            B = _make_b(s, py, px, ai, aj, q_iota, h, w_dim)
+            tap_w = w_ref[t, :]
+            acc = acc + jnp.dot(B.astype(x.dtype), x,
+                                preferred_element_type=jnp.float32) \
+                * tap_w[None, :].astype(jnp.float32)
+        o_ref[ib] = acc.astype(o_ref.dtype)
+
+
+def _forward_pallas(x, s, weight_kc, img_block=8):
+    n, h, w_dim, c = x.shape
+    hw = h * w_dim
+    tile = min(hw, 128)  # bounds VMEM stack across the unrolled 9-tap loop
+    while n % img_block != 0:
+        img_block //= 2
+    taps = [(int(a[0]), int(a[1])) for a in ANCHOR_OFFSETS]
+    kernel = functools.partial(_kernel, h=h, w_dim=w_dim, tile=tile,
+                               img_block=img_block, taps=taps)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n // img_block, hw // tile),
+        in_specs=[
+            pl.BlockSpec((img_block, h, w_dim, c), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((img_block, tile, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, c), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((img_block, tile, c), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, hw, c), x.dtype),
+    )(x, s.astype(jnp.float32).reshape(n, hw, 1), weight_kc)
+    return out.reshape(n, h, w_dim, c)
+
+
+@jax.custom_vjp
+def codesign_deform_conv_fast(x, s, weight):
+    """Depthwise co-designed deform conv, Pallas fast path.
+
+    x: (N, H, W, C); s: (N, H, W, 1); weight: HWIO (3, 3, 1, C).
+    Semantics identical to deform_conv.codesign_deform_conv (stride 1,
+    padding 1, depthwise).
+    """
+    weight_kc = weight.reshape(9, weight.shape[-1])
+    return _forward_pallas(x, s, weight_kc)
+
+
+def _fwd(x, s, weight):
+    return codesign_deform_conv_fast(x, s, weight), (x, s, weight)
+
+
+def _bwd(res, g):
+    x, s, weight = res
+    # exact reference gradients via the differentiable XLA formulation
+    _, vjp = jax.vjp(lambda x_, s_, w_: _xla_impl(x_, s_, w_), x, s, weight)
+    return vjp(g)
+
+
+codesign_deform_conv_fast.defvjp(_fwd, _bwd)

@@ -16,3 +16,13 @@ W4A8 quantization-aware training, engineered TPU-first:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: CLI runs recompile the same programs
+# (first compile through the remote service can take minutes); cache across
+# processes unless the user already configured one.
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "codenet_tpu_xla"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")

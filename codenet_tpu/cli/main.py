@@ -77,6 +77,19 @@ def run_training(opt, qspec=None, load_fp32_then_quantize=False):
             lr = opt.lr * (0.1 ** (opt.lr_step.index(epoch) + 1))
             print("Drop LR to", lr)
             trainer.set_lr(lr)
+
+    # final detection eval with the trained weights (reference
+    # quant_main.py:104-107 forces this; useful for FP32 runs too)
+    if opt.task in ("ctdet",) and opt.num_epochs > 0:
+        try:
+            from .test import prefetch_test
+            eval_opt = opt
+            eval_opt.load_model = os.path.join(save_dir, "model_last.ckpt")
+            eval_opt.resume_quantize = qspec is not None
+            print("Running final eval...")
+            prefetch_test(eval_opt)
+        except Exception as e:
+            print("final eval skipped:", e)
     logger.close()
     return trainer
 

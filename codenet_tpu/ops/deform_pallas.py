@@ -91,6 +91,11 @@ def _forward_pallas(x, s, weight_kc, img_block=8):
     n, h, w_dim, c = x.shape
     hw = h * w_dim
     tile = min(hw, 128)  # bounds VMEM stack across the unrolled 9-tap loop
+    # cap the per-step x block (wide-channel w2 maps would blow the
+    # 16 MB scoped-VMEM budget across the unrolled tap loop)
+    bytes_per_img = hw * c * x.dtype.itemsize
+    while img_block > 1 and img_block * bytes_per_img > 2 * 1024 * 1024:
+        img_block //= 2
     while n % img_block != 0:
         img_block //= 2
     taps = [(int(a[0]), int(a[1])) for a in ANCHOR_OFFSETS]

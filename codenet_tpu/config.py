@@ -132,6 +132,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kitti_split", default="3dop")
     # loss
     p.add_argument("--mse_loss", action="store_true")
+    p.add_argument("--hm_gauss", type=int, default=4,
+                   help="fixed gaussian sigma for --mse_loss targets "
+                        "(the reference reads opt.hm_gauss in its samplers "
+                        "but never declares the flag — mse mode crashes "
+                        "there; declared here)")
     p.add_argument("--reg_loss", default="l1")
     p.add_argument("--hm_weight", type=float, default=1)
     p.add_argument("--off_weight", type=float, default=1)

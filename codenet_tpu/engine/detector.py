@@ -159,9 +159,29 @@ class BaseDetector:
         end_time = time.time()
         merge_time += end_time - post_process_time
         tot_time += end_time - start_time
+
+        if self.opt.debug >= 1 and image is not None:
+            self.show_results(image, results)
         return {"results": results, "tot": tot_time, "load": load_time,
                 "pre": pre_time, "net": net_time, "dec": dec_time,
                 "post": post_time, "merge": merge_time}
+
+    def show_results(self, image, results):
+        """Render final detections (reference per-task show_results); saves
+        to opt.debug_dir (headless) — cv2 windows are not assumed."""
+        from ..utils.debugger import Debugger
+        debugger = Debugger(dataset=self.opt.dataset,
+                            theme=self.opt.debugger_theme)
+        debugger.add_img(image, img_id="out")
+        for j in range(1, self.num_classes + 1):
+            for bbox in results.get(j, []):
+                bbox = np.asarray(bbox)
+                if bbox[4] > self.opt.vis_thresh:
+                    debugger.add_coco_bbox(bbox[:4], j - 1, bbox[4],
+                                           img_id="out")
+        out_dir = getattr(self.opt, "debug_dir", "debug")
+        debugger.save_all_imgs(out_dir, prefix="det_{}_".format(
+            int(time.time() * 1000) % 1000000))
 
 
 class CtdetDetector(BaseDetector):

@@ -152,3 +152,45 @@ def test_gaussian_targets_match_reference():
         hh, ww = rng.randint(2, 60), rng.randint(2, 60)
         np.testing.assert_allclose(A.gaussian_radius((hh, ww)),
                                    ref_image.gaussian_radius((hh, ww)))
+
+
+def test_flip_helpers_match_reference(ref_modules):
+    """flip_lr / flip_lr_off NHWC vs reference models/utils.py:38-56."""
+    sys.path.insert(0, REF + "/lib")
+    from models import utils as ref_utils
+    from codenet_tpu.engine.detector import flip_lr, flip_lr_off
+    rng = np.random.RandomState(6)
+    flip_idx = [[1, 2], [3, 4], [5, 6], [7, 8], [9, 10], [11, 12],
+                [13, 14], [15, 16]]
+    hm_hp = rng.randn(1, 8, 8, 17).astype(np.float32)
+    ours = np.asarray(flip_lr(jnp.asarray(hm_hp), flip_idx))
+    theirs = ref_utils.flip_lr(_nchw(hm_hp), flip_idx).numpy()
+    np.testing.assert_allclose(np.transpose(ours, (0, 3, 1, 2)), theirs,
+                               atol=1e-6)
+
+    hps = rng.randn(1, 8, 8, 34).astype(np.float32)
+    ours = np.asarray(flip_lr_off(jnp.asarray(hps), flip_idx))
+    theirs = ref_utils.flip_lr_off(_nchw(hps), flip_idx).numpy()
+    np.testing.assert_allclose(np.transpose(ours, (0, 3, 1, 2)), theirs,
+                               atol=1e-6)
+
+
+def test_weight_percentile_matches_reference(ref_modules):
+    """wt-percentile per-channel ranges (reference Quant_Conv2d
+    quant_modules.py:285-301 ceil-indexed kthvalue)."""
+    _, _, qu = ref_modules
+    import math
+    from codenet_tpu.ops import quant as Q
+    rng = np.random.RandomState(7)
+    w = rng.randn(6, 8, 3, 3).astype(np.float32)  # OIHW, L=72 per channel
+    wt = torch.from_numpy(w).contiguous().view(6, -1)
+    L = wt.shape[1]
+    lo_i = math.ceil(L * 0.1 * 0.01)
+    up_i = math.ceil(L * 99.9 * 0.01)
+    ref_min = torch.kthvalue(wt, k=max(lo_i, 1), dim=1).values.numpy()
+    ref_max = torch.kthvalue(wt, k=min(up_i, L), dim=1).values.numpy()
+
+    flat = jnp.asarray(wt.numpy())
+    got_min, got_max = Q.weight_channel_min_max(flat, percentile=True)
+    np.testing.assert_allclose(np.asarray(got_min), ref_min, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_max), ref_max, atol=1e-6)

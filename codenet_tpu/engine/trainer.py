@@ -135,9 +135,11 @@ class Trainer:
         self.opt = opt
         self.qspec = qspec
         self.mesh = mesh or get_mesh_for_batch(opt.batch_size)
+        dtype = jnp.bfloat16 if getattr(opt, "dtype", "") == "bfloat16" \
+            else None
         self.model = create_model(opt.arch, opt.heads, opt.head_conv,
                                   w2=opt.w2, maxpool=opt.maxpool,
-                                  qspec=qspec)
+                                  qspec=qspec, dtype=dtype)
         self.loss_fn = LOSS_FACTORY[opt.task]
         self.loss_opts = LossOpts(opt)
         self.lr = opt.lr

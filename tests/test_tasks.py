@@ -138,3 +138,17 @@ def test_soft_nms_decays_overlaps():
     # hard nms keeps first and far box only
     kept = nms(boxes.copy(), 0.5)
     assert len(kept) == 2
+
+
+def test_soft_nms_39_native_matches_numpy():
+    from codenet_tpu.ops.nms import soft_nms_39, _soft_nms_39_numpy
+    rng = np.random.RandomState(9)
+    n = 40
+    boxes = np.concatenate(
+        [rng.rand(n, 2) * 50, rng.rand(n, 2) * 50 + 60, rng.rand(n, 1),
+         rng.rand(n, 34) * 100], axis=1).astype(np.float32)
+    b1, b2 = boxes.copy(), boxes.copy()
+    k1 = soft_nms_39(b1, Nt=0.5, method=2)
+    k2 = _soft_nms_39_numpy(b2, Nt=0.5, method=2)
+    assert k1 == k2
+    np.testing.assert_allclose(b1, b2, rtol=1e-5, atol=1e-6)

@@ -11,7 +11,6 @@ import os
 import queue
 import threading
 
-import numpy as np
 
 from .. import config as cfg
 from ..data.datasets import get_dataset

@@ -11,7 +11,6 @@ base_detector.py:93-155 ({tot, load, pre, net, dec, post, merge}).
 from __future__ import annotations
 
 import time
-from functools import partial
 
 import numpy as np
 
@@ -27,7 +26,6 @@ from ..data.affine import get_affine_transform
 from ..models import create_model
 from ..models import decode as D
 from ..models.layers import QuantSpec
-from ..models.losses import sigmoid_clamped
 from ..ops.nms import soft_nms
 from . import checkpoint
 
@@ -49,8 +47,11 @@ class BaseDetector:
                               act_percentile=opt.act_percentile,
                               int8_infer=getattr(opt, "int8_infer", False))
         self.qspec = qspec
+        dtype = jnp.bfloat16 if getattr(opt, "dtype", "") == "bfloat16" \
+            else None
         self.model = create_model(opt.arch, opt.heads, opt.head_conv,
-                                  w2=opt.w2, maxpool=opt.maxpool, qspec=qspec)
+                                  w2=opt.w2, maxpool=opt.maxpool,
+                                  qspec=qspec, dtype=dtype)
         if variables is not None:
             self.variables = variables
         else:

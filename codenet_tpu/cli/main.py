@@ -49,6 +49,9 @@ def run_training(opt, qspec=None, load_fp32_then_quantize=False):
     save_dir = opt.save_dir
     os.makedirs(save_dir, exist_ok=True)
     for epoch in range(start_epoch + 1, opt.num_epochs + 1):
+        # reference main.py:69 — --save_all checkpoints every epoch as
+        # model_<epoch> instead of rolling model_last
+        mark = str(epoch) if getattr(opt, "save_all", False) else "last"
         log_dict = trainer.train(epoch, train_loader)
         logger.write("epoch: {} |".format(epoch))
         for k, v in log_dict.items():
@@ -56,19 +59,23 @@ def run_training(opt, qspec=None, load_fp32_then_quantize=False):
             logger.write("{} {:8f} | ".format(k, v))
         if opt.val_intervals > 0 and epoch % opt.val_intervals == 0:
             checkpoint.save_model(
-                os.path.join(save_dir, "model_best.ckpt"), epoch,
-                trainer.variables)
+                os.path.join(save_dir, "model_{}.ckpt".format(mark)),
+                epoch, trainer.variables, trainer.opt_state)
             val_dict = trainer.val(epoch, val_loader)
             for k, v in val_dict.items():
                 logger.scalar_summary("val_{}".format(k), v, epoch)
                 logger.write("{} {:8f} | ".format(k, v))
+            # model_best is written ONLY on metric improvement
+            # (reference main.py:83-86)
             if val_dict[opt.metric] < best:
                 best = val_dict[opt.metric]
                 checkpoint.save_model(
                     os.path.join(save_dir, "model_best.ckpt"), epoch,
                     trainer.variables)
-        checkpoint.save_model(os.path.join(save_dir, "model_last.ckpt"),
-                              epoch, trainer.variables, trainer.opt_state)
+        else:
+            checkpoint.save_model(
+                os.path.join(save_dir, "model_{}.ckpt".format(mark)),
+                epoch, trainer.variables, trainer.opt_state)
         logger.write("\n")
         if epoch in opt.lr_step:
             checkpoint.save_model(
@@ -84,7 +91,9 @@ def run_training(opt, qspec=None, load_fp32_then_quantize=False):
         try:
             from .test import prefetch_test
             eval_opt = opt
-            eval_opt.load_model = os.path.join(save_dir, "model_last.ckpt")
+            last = ("model_{}.ckpt".format(opt.num_epochs)
+                    if getattr(opt, "save_all", False) else "model_last.ckpt")
+            eval_opt.load_model = os.path.join(save_dir, last)
             eval_opt.resume_quantize = qspec is not None
             print("Running final eval...")
             prefetch_test(eval_opt)

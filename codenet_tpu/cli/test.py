@@ -81,8 +81,48 @@ def prefetch_test(opt):
     return dataset.run_eval(results, opt.save_dir)
 
 
+def test(opt):
+    """Serial (non-prefetched) eval path (reference test.py:85-125): the
+    detector loads + pre-processes each image inline; ddd passes the
+    per-image calib through to pre_process."""
+    Dataset = get_dataset(opt.dataset, opt.task)
+    opt = cfg.update_dataset_info_and_set_heads(
+        opt, cfg.DATASET_SPECS[opt.dataset])
+    print(opt.heads)
+    split = "val" if not opt.trainval else "test"
+    dataset = Dataset(opt, split)
+    detector = detector_factory(opt.task)(opt)
+
+    results = {}
+    avg_time_stats = {t_: AverageMeter()
+                      for t_ in ["tot", "load", "pre", "net", "dec", "post",
+                                 "merge"]}
+    num_iters = len(dataset)
+    for ind in range(num_iters):
+        img_id = dataset.images[ind]
+        img_info = dataset.coco.loadImgs(ids=[img_id])[0]
+        img_path = os.path.join(dataset.img_dir, img_info["file_name"])
+        if opt.task == "ddd":
+            import numpy as np
+            meta = {"calib": np.array(img_info["calib"], dtype=np.float32)}
+            ret = detector.run(img_path, meta)
+        else:
+            ret = detector.run(img_path)
+        results[img_id] = ret["results"]
+        for t_ in avg_time_stats:
+            avg_time_stats[t_].update(ret[t_])
+        if ind % 100 == 0:
+            print("[{}/{}] ".format(ind, num_iters)
+                  + "".join("|{} {:.3f} ".format(t_, avg_time_stats[t_].avg)
+                            for t_ in avg_time_stats))
+    os.makedirs(opt.save_dir, exist_ok=True)
+    return dataset.run_eval(results, opt.save_dir)
+
+
 def main(argv=None):
     opt = cfg.parse(argv)
+    if opt.not_prefetch_test:
+        return test(opt)
     return prefetch_test(opt)
 
 

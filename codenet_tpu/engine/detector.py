@@ -317,7 +317,7 @@ class DddDetector(BaseDetector):
             return D.ddd_decode(hm, output["rot"], dep, output["dim"],
                                 wh=wh, reg=reg, k=k)
 
-        self._process_fn = _process
+        self._process_impl = _process
 
     def pre_process(self, image, scale, meta=None):
         """reference detectors/ddd.py:30-56 (no multi-scale, no flip)."""
@@ -344,7 +344,8 @@ class DddDetector(BaseDetector):
         return images, meta
 
     def process(self, images, trans_inv, scale):
-        return self._process_fn(self.variables, jnp.asarray(images))
+        fn = self._weight_closed(self._process_impl)
+        return fn(jnp.asarray(images))
 
     def post_process(self, dets, meta, scale=1):
         from ..utils.post_process import ddd_post_process

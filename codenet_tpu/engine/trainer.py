@@ -121,6 +121,22 @@ def make_oracle_val_step(model, loss_fn, loss_opts, opt):
                 output["dep"] = jnp.asarray(gen_oracle_map(
                     np.asarray(batch["dep"]), np.asarray(batch["ind"]),
                     w, h))
+            # multi_pose probes (reference trains/multi_pose.py:36-54)
+            if getattr(opt, "eval_oracle_hmhp", False) and "hm_hp" in output:
+                gt = np.clip(np.asarray(batch["hm_hp"]), 1e-4, 1 - 1e-4)
+                output["hm_hp"] = jnp.asarray(np.log(gt / (1 - gt)))
+            if getattr(opt, "eval_oracle_kps", False) and "hps" in output:
+                if getattr(opt, "dense_hp", False):
+                    output["hps"] = batch["dense_hps"]
+                else:
+                    output["hps"] = jnp.asarray(gen_oracle_map(
+                        np.asarray(batch["hps"]), np.asarray(batch["ind"]),
+                        w, h))
+            if (getattr(opt, "eval_oracle_hp_offset", False)
+                    and "hp_offset" in output):
+                output["hp_offset"] = jnp.asarray(gen_oracle_map(
+                    np.asarray(batch["hp_offset"]),
+                    np.asarray(batch["hp_ind"]), w, h))
             subbed.append(output)
         _, stats = loss_fn(subbed, batch, loss_opts)
         return stats
@@ -149,7 +165,9 @@ class Trainer:
                                           quantized=qspec is not None)
         oracle_on = any(getattr(opt, f, False) for f in
                         ("eval_oracle_hm", "eval_oracle_wh",
-                         "eval_oracle_offset", "eval_oracle_dep"))
+                         "eval_oracle_offset", "eval_oracle_dep",
+                         "eval_oracle_hmhp", "eval_oracle_kps",
+                         "eval_oracle_hp_offset"))
         if oracle_on:
             self.val_step = make_oracle_val_step(self.model, self.loss_fn,
                                                  self.loss_opts, opt)

@@ -42,6 +42,13 @@ def create_model(arch, heads, head_conv, w2=False, maxpool=False, qspec=None,
     """
     num_layers = int(arch[arch.find("_") + 1:]) if "_" in arch else 0
     arch_name = arch[:arch.find("_")] if "_" in arch else arch
+    if arch_name == "dla":
+        # The reference's default --arch dla_34 maps to pose_dla_dcn, which
+        # its own factory comments out (model.py:12-13,20-21); alias to the
+        # shipped DLA-v0 so the no-flag invocation works.
+        print("warning: arch 'dla' is not shipped (matches reference "
+              "model.py:12-13); using 'dlav0'")
+        arch_name = "dlav0"
     get_model = MODEL_FACTORY[arch_name]
     kwargs = dict(qspec=qspec, dtype=dtype)
     if arch_name == "shufflenetv2":

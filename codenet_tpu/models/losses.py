@@ -186,7 +186,10 @@ def ddd_loss(outputs, batch, opt):
     num_stacks = len(outputs)
     for output in outputs:
         hm = sigmoid_clamped(output["hm"])
-        dep = 1.0 / jax.nn.sigmoid(output["dep"]) - 1.0
+        # epsilon guards sigmoid underflow on very negative logits
+        # (reference trains/ddd.py:26: 1./(sigmoid(dep)+1e-6)-1.), and
+        # matches the inference decode in engine/detector.py
+        dep = 1.0 / (jax.nn.sigmoid(output["dep"]) + 1e-6) - 1.0
         hm_loss += neg_loss(hm, batch["hm"]) / num_stacks
         if opt.dep_weight > 0:
             dep_loss += reg_l1_loss(dep, batch["reg_mask"], batch["ind"],

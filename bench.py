@@ -1,15 +1,16 @@
 #!/usr/bin/env python
-"""Throughput benchmark: ctdet inference images/sec/chip at 256x256.
+"""Throughput benchmark: ctdet images/sec/chip on the real TPU.
 
-Runs the fused forward+decode program (the config-a inference path) on the
-real TPU chip and prints ONE JSON line. Baseline for vs_baseline: 2000
-img/s/chip (BASELINE.md rebuild target; the reference's own numbers are
-FPGA fps — 32.2 fps config a — not comparable hardware).
+Prints ONE JSON line. The primary metric stays the config-a inference path
+(bf16 256x256 fused forward+decode) against the 2000 img/s/chip BASELINE.md
+target; `extra` carries the other driver-tracked points (VERDICT r1 #10):
+f32 default-dtype eval, the real-int8 W4A8 lowering, 512x512 --w2 (config
+c/e capacity), and the f32 train-step throughput (VERDICT r1 #3).
 
 Timing note: on the axon backend `block_until_ready` is a no-op, so every
 measurement closes with a scalar host transfer, which is the only reliable
-sync point. The benchmarked program therefore returns a checksum scalar in
-addition to the detections it computes.
+sync point. The benchmarked programs therefore return a checksum scalar in
+addition to their real outputs.
 """
 
 from __future__ import annotations
@@ -18,55 +19,119 @@ import json
 import time
 
 
-def bench_ctdet(input_res=256, batches=(64, 128, 256), iters=100, warm=30,
-                dtype="bfloat16"):
+def _time_loop(fn, iters, warm):
+    for _ in range(warm):
+        chk = fn()
+    float(chk)  # hard sync
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        chk = fn()
+    float(chk)  # hard sync
+    return time.perf_counter() - t0
+
+
+def bench_infer(input_res=256, batches=(64, 128, 256), iters=100, warm=30,
+                dtype="bfloat16", w2=False, int8=False):
+    """Fused forward+decode img/s, weights closed over (detector path)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from codenet_tpu.models import create_model
     from codenet_tpu.models import decode as D
+    from codenet_tpu.models.layers import QuantSpec
 
     heads = {"hm": 20, "wh": 2, "reg": 2}
     compute_dtype = jnp.bfloat16 if dtype == "bfloat16" else None
-    model = create_model("shufflenetv2", heads, 64, dtype=compute_dtype)
+    qspec = QuantSpec(int8_infer=True) if int8 else None
+    model = create_model("shufflenetv2", heads, 64, w2=w2,
+                         qspec=qspec, dtype=compute_dtype)
 
     best, best_bs = 0.0, 0
     for bs in batches:
         x = jnp.asarray(
             np.random.RandomState(0).randn(bs, input_res, input_res, 3)
             .astype(np.float32))
-        variables = model.init(jax.random.PRNGKey(0), x)
+        variables = model.init(jax.random.PRNGKey(0), x[:1])
+        if int8:
+            # activation EMA state must be a real range, not the zero init
+            variables = dict(variables)
+            variables["quant_stats"] = jax.tree_util.tree_map_with_path(
+                lambda p, v: v - 4.0 if "x_min" in str(p) else v + 4.0,
+                variables["quant_stats"])
 
         @jax.jit
-        def infer(variables, images):
+        def infer(images, variables=variables):
             out = model.apply(variables, images, train=False)
             hm = jax.nn.sigmoid(out["hm"])
             dets = D.ctdet_decode(hm, out["wh"], out["reg"], k=100)
-            return dets, jnp.sum(dets[..., 4])
+            return jnp.sum(dets[..., 4])
 
-        for _ in range(warm):
-            dets, chk = infer(variables, x)
-        float(chk)  # hard sync
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            dets, chk = infer(variables, x)
-        float(chk)  # hard sync
-        dt = time.perf_counter() - t0
+        dt = _time_loop(lambda: infer(x), iters, warm)
         ips = bs * iters / dt
         if ips > best:
             best, best_bs = ips, bs
     return best, best_bs
 
 
+def bench_train(input_res=256, batch=64, iters=50, warm=10):
+    """Full jitted train step (fwd + Pallas bwd + Adam) img/s, f32."""
+    import jax.numpy as jnp
+    import numpy as np
+    from codenet_tpu import config as cfg
+    from codenet_tpu.engine.trainer import Trainer
+
+    opt = cfg.parse(
+        ("ctdet --dataset pascal --arch shufflenetv2 "
+         f"--input_res {input_res} --batch_size {batch}").split())
+    opt = cfg.update_dataset_info_and_set_heads(
+        opt, cfg.DATASET_SPECS["pascal"])
+    trainer = Trainer(opt)
+    trainer.init(input_shape=(1, input_res, input_res, 3))
+
+    out_res = input_res // opt.down_ratio
+    rng = np.random.RandomState(0)
+    m = 128  # max objects
+    batch_np = {
+        "input": rng.randn(batch, input_res, input_res, 3)
+        .astype(np.float32),
+        "hm": np.zeros((batch, out_res, out_res, 20), np.float32),
+        "wh": rng.rand(batch, m, 2).astype(np.float32),
+        "reg": rng.rand(batch, m, 2).astype(np.float32),
+        "ind": rng.randint(0, out_res * out_res, (batch, m))
+        .astype(np.int64),
+        "reg_mask": np.ones((batch, m), np.uint8),
+    }
+    batch_np["hm"][:, out_res // 2, out_res // 2, 0] = 1.0
+    batch_dev = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    def step():
+        trainer.variables, trainer.opt_state, stats = trainer.train_step(
+            trainer.variables, trainer.opt_state, batch_dev)
+        return stats["loss"]
+
+    dt = _time_loop(step, iters, warm)
+    return batch * iters / dt
+
+
 def main():
-    best, best_bs = bench_ctdet()
     baseline = 2000.0  # img/s/chip rebuild target (BASELINE.md)
+    best, best_bs = bench_infer()
+    extra = {}
+    f32, _ = bench_infer(dtype="float32", batches=(64, 128))
+    extra["ctdet_infer_f32_256"] = round(f32, 1)
+    int8, _ = bench_infer(dtype="float32", batches=(64, 128), int8=True)
+    extra["ctdet_infer_int8_256"] = round(int8, 1)
+    w2_512, _ = bench_infer(input_res=512, batches=(16, 32), w2=True,
+                            iters=50)
+    extra["ctdet_infer_bf16_512_w2"] = round(w2_512, 1)
+    extra["ctdet_train_f32_256"] = round(bench_train(), 1)
     print(json.dumps({
         "metric": "ctdet_inference_throughput_256",
         "value": round(best, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(best / baseline, 3),
         "batch_size": best_bs,
+        "extra": extra,
     }))
 
 

@@ -32,8 +32,16 @@ def _prefetch(dataset, detector, opt, q):
             image = cv2.imread(img_path)
             images, meta = {}, {}
             for scale in opt.test_scales:
-                images[scale], meta[scale] = detector.pre_process(image,
-                                                                  scale)
+                if opt.task == "ddd" and "calib" in img_info:
+                    # per-image calibration (reference test.py:38-40)
+                    import numpy as np
+                    in_meta = {"calib": np.array(img_info["calib"],
+                                                 dtype=np.float32)}
+                    images[scale], meta[scale] = detector.pre_process(
+                        image, scale, in_meta)
+                else:
+                    images[scale], meta[scale] = detector.pre_process(
+                        image, scale)
             q.put((img_id, {"images": images, "image": image, "meta": meta}))
     except Exception as e:  # pragma: no cover
         q.put(e)

@@ -1,9 +1,12 @@
 """Batched, prefetching data loader (host side).
 
 Replaces torch DataLoader + worker processes (reference main.py:45-62,
-test.py:57-63): a thread pool maps the numpy samplers (cv2 releases the GIL
-for the warp work), batches into fixed-shape numpy dicts (static shapes =>
-one XLA program), and prefetches ahead of the device.
+test.py:57-63): a pool of `num_workers` threads maps the numpy samplers
+(cv2 releases the GIL for the warp work, numpy for large copies), batches
+into fixed-shape numpy dicts (static shapes => one XLA program), and
+prefetches ahead of the device. Batch order is deterministic regardless of
+worker count: workers pull batch indices from a shared queue and publish
+results into per-batch slots that the consumer drains in order.
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ def _stack_samples(samples):
 
 class DataLoader:
     def __init__(self, dataset, batch_size, shuffle=False, num_workers=4,
-                 drop_last=None, seed=0, prefetch=2):
+                 drop_last=None, seed=0, prefetch=3):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -54,30 +57,54 @@ class DataLoader:
                 continue
             batches.append(idx)
 
-        q = queue.Queue(maxsize=self.prefetch)
+        n_workers = min(self.num_workers, max(1, len(batches)))
+        # Workers take batch numbers from `todo`; the consumer admits at most
+        # prefetch+n_workers batches in flight (ordered delivery needs every
+        # earlier batch buffered, so in-flight count bounds memory).
+        todo = queue.Queue()
+        done = {}  # batch number -> batch dict | Exception
+        done_cv = threading.Condition()
         stop = threading.Event()
+        max_inflight = self.prefetch + n_workers
+        for b in range(min(max_inflight, len(batches))):
+            todo.put(b)
+        next_admit = min(max_inflight, len(batches))
 
         def worker():
-            try:
-                for idx in batches:
-                    if stop.is_set():
-                        break
-                    samples = [self.dataset.get_sample(j) for j in idx]
-                    q.put(_stack_samples(samples))
-            except Exception as e:  # surface loader errors to the consumer
-                q.put(e)
-            finally:
-                q.put(None)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        try:
-            while True:
-                item = q.get()
-                if item is None:
+            while not stop.is_set():
+                try:
+                    b = todo.get(timeout=0.1)
+                except queue.Empty:
+                    continue
+                if b is None:
                     break
+                try:
+                    samples = [self.dataset.get_sample(j)
+                               for j in batches[b]]
+                    result = _stack_samples(samples)
+                except Exception as e:  # surface to the consumer
+                    result = e
+                with done_cv:
+                    done[b] = result
+                    done_cv.notify_all()
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(n_workers)]
+        for t in threads:
+            t.start()
+        try:
+            for b in range(len(batches)):
+                with done_cv:
+                    while b not in done:
+                        done_cv.wait(timeout=1.0)
+                    item = done.pop(b)
                 if isinstance(item, Exception):
                     raise item
+                if next_admit < len(batches):
+                    todo.put(next_admit)
+                    next_admit += 1
                 yield item
         finally:
             stop.set()
+            for _ in threads:
+                todo.put(None)

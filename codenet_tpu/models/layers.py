@@ -386,15 +386,17 @@ class CodesignDeformBlock(nn.Module):
         # bilinear gather needs the float domain; integer inputs dequantize
         # here (the sampled values feed the quantized 1x1 mixer next)
         xf = as_float(x)
-        hw = xf.shape[1] * xf.shape[2]
-        if (self.dtype == jnp.bfloat16 and self.stride == 1
-                and (hw <= 128 or hw % 128 == 0)):
-            # VMEM-resident Pallas kernel (bf16 perf path); f32/QAT keeps
-            # the exact XLA formulation
-            from ..ops.deform_pallas import codesign_deform_conv_fast
-            y = codesign_deform_conv_fast(xf.astype(jnp.bfloat16),
+        from ..ops.deform_pallas import codesign_deform_conv_fast, \
+            use_fast_path
+        if self.stride == 1 and use_fast_path():
+            # VMEM-resident Pallas kernel (Pallas backward too): the fast
+            # path for every stride-1 mode — f32 default eval/train, bf16,
+            # QAT fake-quant, and the dequantized int8 deform input
+            kdtype = jnp.bfloat16 if self.dtype == jnp.bfloat16 \
+                else xf.dtype
+            y = codesign_deform_conv_fast(xf.astype(kdtype),
                                           s.astype(jnp.float32),
-                                          dw_kernel.astype(jnp.bfloat16))
+                                          dw_kernel.astype(kdtype))
         else:
             y = codesign_deform_conv(xf, s, dw_kernel, stride=self.stride)
 

@@ -1,9 +1,10 @@
-"""Pallas deform kernel vs the XLA formulation (interpret mode on CPU).
+"""Pallas deform kernels vs the XLA formulation (interpret mode on CPU).
 
-On-hardware correctness was additionally validated on the v5e (rel err
-~3e-3 from bf16 MXU accumulation); here interpret mode checks the kernel
-logic exactly.
-"""
+On-hardware correctness is additionally validated on the v5e; here
+interpret mode (automatic off-TPU) checks the kernel logic exactly:
+forward over aligned/ragged map sizes and dtypes, and the fused Pallas
+backward (dX/ds/dw) against the XLA-formulation VJP the reference
+gradients were verified with (finite differences in test_deform_conv)."""
 
 import numpy as np
 import jax
@@ -14,34 +15,42 @@ from codenet_tpu.ops import deform_pallas as DP
 from codenet_tpu.ops.deform_conv import codesign_deform_conv
 
 
-@pytest.fixture(autouse=True)
-def _interpret(monkeypatch):
-    import functools
-    from jax.experimental import pallas as pl
-    orig = pl.pallas_call
-    monkeypatch.setattr(pl, "pallas_call",
-                        functools.partial(orig, interpret=True))
-    yield
-
-
-@pytest.mark.parametrize("shape", [(8, 8, 256), (16, 8, 128)])
-def test_pallas_matches_xla(shape):
+def _case(shape, seed=0, dtype=np.float32):
     H, W, C = shape
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(2, H, W, C).astype(np.float32))
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(2, H, W, C).astype(dtype))
     s = jnp.asarray(rng.uniform(-2.0, 3.0, (2, H, W, 1)).astype(np.float32))
-    w = jnp.asarray((rng.randn(3, 3, 1, C) * 0.2).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 1, C) * 0.2).astype(dtype))
+    return x, s, w
+
+
+# 12x12 (=144 positions) is the pascal-384 deconv map that round 1's gate
+# excluded; 24x24 (=576) exercises the ragged row-padding path.
+@pytest.mark.parametrize("shape", [(8, 8, 256), (16, 8, 128), (12, 12, 64),
+                                   (24, 24, 32)])
+def test_pallas_matches_xla(shape):
+    x, s, w = _case(shape)
     a = np.asarray(codesign_deform_conv(x, s, w,
                                         precision=jax.lax.Precision.HIGHEST))
     b = np.asarray(DP.codesign_deform_conv_fast(x, s, w))
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
 
 
-def test_pallas_gradients_route_through_xla():
-    rng = np.random.RandomState(1)
-    x = jnp.asarray(rng.randn(1, 8, 8, 128).astype(np.float32))
-    s = jnp.asarray(rng.uniform(-1, 2, (1, 8, 8, 1)).astype(np.float32))
-    w = jnp.asarray((rng.randn(3, 3, 1, 128) * 0.2).astype(np.float32))
+def test_pallas_bf16_matches_xla_loosely():
+    x, s, w = _case((8, 8, 128), seed=2)
+    a = np.asarray(codesign_deform_conv(x, s, w,
+                                        precision=jax.lax.Precision.HIGHEST))
+    b = np.asarray(DP.codesign_deform_conv_fast(
+        x.astype(jnp.bfloat16), s, w.astype(jnp.bfloat16))
+        .astype(jnp.float32))
+    np.testing.assert_allclose(a, b, rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.parametrize("shape", [(8, 8, 128), (12, 12, 32)])
+def test_pallas_backward_matches_xla(shape):
+    """The fused Pallas backward must reproduce the XLA-formulation VJP
+    (which test_deform_conv ties to finite differences)."""
+    x, s, w = _case(shape, seed=1)
 
     def f_fast(x, s, w):
         return jnp.sum(jnp.sin(DP.codesign_deform_conv_fast(x, s, w)))
@@ -51,6 +60,48 @@ def test_pallas_gradients_route_through_xla():
 
     g_fast = jax.grad(f_fast, argnums=(0, 1, 2))(x, s, w)
     g_xla = jax.grad(f_xla, argnums=(0, 1, 2))(x, s, w)
-    for a, b in zip(g_fast, g_xla):
+    for name, a, b in zip(("dx", "ds", "dw"), g_fast, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-3, atol=5e-3)
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+def test_pallas_backward_under_jit_and_integer_scales():
+    """Integer s lands exactly on grid points (fy=fx=0) — the boundary of
+    the bilinear cells; gradients must still agree there."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 8, 8, 64).astype(np.float32))
+    s = jnp.asarray(rng.randint(-1, 3, (2, 8, 8, 1)).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 1, 64) * 0.2).astype(np.float32))
+
+    @jax.jit
+    def g_fast(x, s, w):
+        return jax.grad(
+            lambda *a: jnp.sum(DP.codesign_deform_conv_fast(*a) ** 2),
+            argnums=(0, 1, 2))(x, s, w)
+
+    @jax.jit
+    def g_xla(x, s, w):
+        return jax.grad(
+            lambda *a: jnp.sum(codesign_deform_conv(*a) ** 2),
+            argnums=(0, 1, 2))(x, s, w)
+
+    for name, a, b in zip(("dx", "ds", "dw"), g_fast(x, s, w),
+                          g_xla(x, s, w)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+def test_model_integration_interpret(monkeypatch):
+    """CODENET_PALLAS_INTERPRET=1 routes CodesignDeformBlock through the
+    Pallas kernel on CPU; outputs must match the XLA-path model."""
+    monkeypatch.delenv("CODENET_PALLAS_INTERPRET", raising=False)
+    from codenet_tpu.models.layers import CodesignDeformBlock
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 8, 8, 32).astype(np.float32))
+    block = CodesignDeformBlock(features=16)
+    variables = block.init(jax.random.PRNGKey(0), x)
+    ref = block.apply(variables, x)
+    monkeypatch.setenv("CODENET_PALLAS_INTERPRET", "1")
+    fast = block.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(fast),
+                               rtol=2e-3, atol=2e-3)

@@ -1,0 +1,76 @@
+"""ddd (KITTI 3D) end-to-end slice: train -> detector -> KITTI eval.
+
+VERDICT r1 #8: the one task family round 1 never exercised through the
+CLI. Mirrors the reference drive `main.py ddd` + `test.py ddd` on a
+synthetic KITTI-format dataset: the ddd sampler consumes real calib /
+alpha / depth / dim annotations, the detector round-trips through
+ddd_post_process 3D back-projection, and the native KITTI evaluator
+scores the resulting label txts.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from codenet_tpu import config as cfg
+from synthetic_kitti import make_kitti_dataset
+
+pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kittidata")
+    make_kitti_dataset(str(root), num_images=3, img_w=256, img_h=96)
+    return str(root)
+
+
+def _opt(kitti_root, root_dir, extra=""):
+    args = ("ddd --dataset kitti --arch shufflenetv2 "
+            "--input_h 96 --input_w 256 --batch_size 2 --num_workers 1 "
+            "--num_epochs 1 --num_iters 2 --val_intervals -1 "
+            "--exp_id ddd_e2e " + extra)
+    opt = cfg.parse(args.split(), root_dir=root_dir)
+    opt.data_dir = kitti_root
+    return opt
+
+
+def test_ddd_train_and_eval(kitti_root, tmp_path):
+    opt = _opt(kitti_root, str(tmp_path))
+    from codenet_tpu.cli.main import run_training
+    trainer = run_training(opt)
+    # finite losses incl. the BinRot head
+    ckpt = os.path.join(opt.save_dir, "model_last.ckpt")
+    assert os.path.exists(ckpt)
+
+    eval_opt = _opt(kitti_root, str(tmp_path),
+                    extra="--load_model " + ckpt + " --peak_thresh 0.0")
+    from codenet_tpu.cli.test import prefetch_test
+    out = prefetch_test(eval_opt)
+    # the native evaluator returns the class x difficulty AP table
+    # (-1 marks an empty difficulty bucket, as the reference binary does)
+    expect = {f"{c}_{d}" for c in ("Car", "Pedestrian", "Cyclist")
+              for d in ("easy", "moderate", "hard")}
+    assert set(out.keys()) == expect
+    for cls, v in out.items():
+        for metric in ("AP2D", "AOS", "AP_BEV", "AP_3D"):
+            assert np.isfinite(v[metric]), (cls, metric, v)
+            assert v[metric] >= -1.0
+    # results dir holds one KITTI txt per image with 17-column rows
+    results_dir = os.path.join(eval_opt.save_dir, "results")
+    txts = [f for f in os.listdir(results_dir) if f.endswith(".txt")]
+    assert len(txts) == 3
+    with open(os.path.join(results_dir, txts[0])) as f:
+        rows = [line.split() for line in f if line.strip()]
+    for row in rows:
+        # cls trunc occ alpha bbox(4) dim(3) loc(3) ry score = 16 fields
+        assert len(row) == 16, row
+
+
+def test_ddd_serial_eval_path(kitti_root, tmp_path):
+    """--not_prefetch_test threads per-image calib through detector.run."""
+    opt = _opt(kitti_root, str(tmp_path), extra="--not_prefetch_test")
+    from codenet_tpu.cli.test import test as serial_test
+    out = serial_test(opt)
+    assert any(k.startswith("Car_") for k in out)

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""One-command reproduction driver for the five README configs (a-e).
+
+Chains, per config, the reference's exact recipe
+(/root/reference/README.md:88-116):
+  1. FP32 train   — main.py ctdet, 90 epochs, lr_step 50,70
+  2. QAT finetune — quant_main.py, 180 epochs from the FP32 ckpt,
+                    --resume-quantize --wt-percentile
+  3. Eval         — test.py with --flip_test --resume-quantize
+
+Configs (README.md Table 3):
+  a: 256x256 stride-4        c: 512x512 stride-4    e: 512x512 --w2 --maxpool
+  b: 256x256 --maxpool       d: 512x512 --w2
+
+Runs unattended once `data/voc` exists (tools_tpu/get_pascal_voc.sh +
+merge_pascal_json.py lay it out); each stage is a subprocess so XLA programs
+and host memory are isolated. A stage whose final checkpoint already exists
+is skipped, so the driver is resumable. AP50 targets to match (+-0.2):
+a 51.1, b 55.1, c 61.7, d 67.1, e 69.7.
+
+Usage:
+  python tools_tpu/run_configs_ae.py                 # all five
+  python tools_tpu/run_configs_ae.py --configs a,b   # subset
+  python tools_tpu/run_configs_ae.py --fp32_epochs 2 --qat_epochs 1 \
+      --data_dir /tmp/vocdata --smoke   # pipeline smoke on synthetic data
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CONFIGS = {
+    "a": {"input_res": 256, "w2": False, "maxpool": False, "ap50": 51.1},
+    "b": {"input_res": 256, "w2": False, "maxpool": True, "ap50": 55.1},
+    "c": {"input_res": 512, "w2": False, "maxpool": False, "ap50": 61.7},
+    "d": {"input_res": 512, "w2": True, "maxpool": False, "ap50": 67.1},
+    "e": {"input_res": 512, "w2": True, "maxpool": True, "ap50": 69.7},
+}
+
+
+def build_commands(cfg_name, opts):
+    """The three stage command lines for one config (list of argv lists)."""
+    c = CONFIGS[cfg_name]
+    exp = f"pascal_shufflenetv2_config_{cfg_name}"
+    flags = ["--arch", "shufflenetv2", "--dataset", "pascal",
+             "--head_conv", "64", "--input_res", str(c["input_res"]),
+             "--data_dir", opts.data_dir, "--exp_id", exp]
+    if c["w2"]:
+        flags += ["--w2"]
+    if c["maxpool"]:
+        flags += ["--maxpool"]
+    extra = []
+    if opts.batch_size:
+        extra += ["--batch_size", str(opts.batch_size)]
+    if opts.num_workers is not None:
+        extra += ["--num_workers", str(opts.num_workers)]
+
+    py = [sys.executable]
+    train = py + ["main.py", "ctdet", *flags, *extra,
+                  "--num_epochs", str(opts.fp32_epochs),
+                  "--lr_step", opts.lr_step]
+    qat = py + ["quant_main.py", "ctdet", *flags, *extra,
+                "--num_epochs", str(opts.qat_epochs),
+                "--lr_step", opts.lr_step,
+                "--resume", "--resume-quantize", "--wt-percentile"]
+    test = py + ["test.py", "ctdet", *flags,
+                 "--resume", "--flip_test", "--resume-quantize"]
+    return exp, [("fp32_train", train), ("qat_finetune", qat),
+                 ("eval", test)]
+
+
+def stage_done(exp_dir, stage, opts):
+    """Resumability: skip a train stage whose terminal ckpt exists."""
+    last = os.path.join(exp_dir, "model_last.ckpt")
+    if not os.path.exists(last):
+        return False
+    if stage == "fp32_train":
+        # the QAT stage overwrites model_last with quant_stats inside;
+        # use the presence of the fp32 marker file
+        return os.path.exists(os.path.join(exp_dir, ".fp32_done"))
+    if stage == "qat_finetune":
+        return os.path.exists(os.path.join(exp_dir, ".qat_done"))
+    return False
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="a,b,c,d,e")
+    ap.add_argument("--data_dir", default=os.path.join(REPO, "data"))
+    ap.add_argument("--fp32_epochs", type=int, default=90)
+    ap.add_argument("--qat_epochs", type=int, default=180)
+    ap.add_argument("--lr_step", default="50,70")
+    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--num_workers", type=int, default=None)
+    ap.add_argument("--dry_run", action="store_true",
+                    help="print the command lines and exit")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tolerate missing data/voc name (synthetic runs)")
+    args = ap.parse_args(argv)
+
+    voc = os.path.join(args.data_dir, "voc")
+    if not os.path.isdir(voc) and not args.dry_run:
+        print(f"ERROR: {voc} not found. Fetch Pascal VOC first:\n"
+              f"  bash tools_tpu/get_pascal_voc.sh\n"
+              f"  python tools_tpu/merge_pascal_json.py", file=sys.stderr)
+        return 2
+
+    summary = {}
+    for name in args.configs.split(","):
+        exp, stages = build_commands(name, args)
+        exp_dir = os.path.join(REPO, "exp", "ctdet", exp)
+        for stage, cmd in stages:
+            if args.dry_run:
+                print(f"[{name}:{stage}] {' '.join(cmd)}")
+                continue
+            if stage_done(exp_dir, stage, args):
+                print(f"[{name}:{stage}] done already, skipping")
+                continue
+            print(f"[{name}:{stage}] {' '.join(cmd)}", flush=True)
+            rc = subprocess.call(cmd, cwd=REPO)
+            if rc != 0:
+                print(f"[{name}:{stage}] FAILED rc={rc}", file=sys.stderr)
+                return rc
+            if stage in ("fp32_train", "qat_finetune"):
+                marker = ".fp32_done" if stage == "fp32_train" \
+                    else ".qat_done"
+                open(os.path.join(exp_dir, marker), "w").close()
+        if not args.dry_run:
+            summary[name] = {"exp_dir": exp_dir,
+                             "target_ap50": CONFIGS[name]["ap50"]}
+    if summary:
+        out = os.path.join(REPO, "exp", "configs_ae_summary.json")
+        with open(out, "w") as f:
+            json.dump(summary, f, indent=2)
+        print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Deterministic non-overfit accuracy regression (VERDICT r1 #4).
+
+Trains the flagship ctdet/ShuffleNetV2-DCN on a 64-image synthetic VOC
+train split and scores Mean AP on 16 HELD-OUT images (same distribution,
+different seed) — class identity is color-coded, so generalization is
+learnable in minutes yet still exercises the full train->checkpoint->
+detector->VOC-eval stack. Accuracy drift between rounds (kernel changes,
+quantization changes, decode changes) shows up as a band violation.
+
+Usage:
+  python tools_tpu/synthetic_regression.py                # run + assert
+  python tools_tpu/synthetic_regression.py --min_ap 0     # report only
+
+The pinned band is calibrated on the real TPU chip (see
+tests/test_synth_regression.py for the CPU-sized CI variant).
+"""
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+
+def run(train_images=64, test_images=16, input_res=128, batch_size=16,
+        num_epochs=60, lr=2.5e-4, exp_id="synthreg", data_root=None,
+        seed=0):
+    from synthetic import make_voc_dataset
+
+    data_root = data_root or tempfile.mkdtemp(prefix="synthreg_")
+    make_voc_dataset(data_root, num_images=train_images, img_w=160,
+                     img_h=120, seed=seed, test_images=test_images)
+    common = ["ctdet", "--dataset", "pascal", "--arch", "shufflenetv2",
+              "--input_res", str(input_res), "--data_dir", data_root,
+              "--exp_id", exp_id]
+    train = [sys.executable, "main.py", *common,
+             "--batch_size", str(batch_size),
+             "--num_epochs", str(num_epochs),
+             "--lr", str(lr),
+             "--lr_step", str(int(num_epochs * 0.7)),
+             "--num_workers", "2", "--val_intervals", "-1", "--seed",
+             str(seed)]
+    test = [sys.executable, "test.py", *common, "--resume"]
+    for cmd in (train, test):
+        print("+", " ".join(cmd), flush=True)
+        rc = subprocess.call(cmd, cwd=REPO)
+        if rc != 0:
+            raise SystemExit(f"stage failed rc={rc}")
+    # test.py prints the AP table; re-score in-process for the number
+    from codenet_tpu.eval.voc_eval import voc_eval_from_coco_json
+    from synthetic import VOC_CLASSES
+    results = os.path.join(REPO, "exp", "ctdet", exp_id, "results.json")
+    gt = os.path.join(data_root, "voc", "annotations",
+                      "pascal_test2007.json")
+    scores = voc_eval_from_coco_json(results, gt, VOC_CLASSES, quiet=True)
+    # band metric: mean AP over classes PRESENT in the held-out GT (absent
+    # classes score 0 by VOC convention and would just dilute the band)
+    import json as _json
+    with open(gt) as f:
+        present = {a["category_id"] for a in _json.load(f)["annotations"]}
+    present_aps = [scores["per_class"][VOC_CLASSES[c - 1]] for c in present]
+    mean_present = float(sum(present_aps) / max(len(present_aps), 1))
+    print(f"Mean AP (all 20) = {scores['AP50']:.4f}; "
+          f"present-class Mean AP = {mean_present:.4f} "
+          f"({len(present_aps)} classes)")
+    return mean_present, data_root
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--min_ap", type=float, default=0.55,
+                    help="pinned lower band (TPU-calibrated)")
+    ap.add_argument("--train_images", type=int, default=64)
+    ap.add_argument("--test_images", type=int, default=16)
+    ap.add_argument("--input_res", type=int, default=128)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--num_epochs", type=int, default=60)
+    ap.add_argument("--keep_data", action="store_true")
+    args = ap.parse_args(argv)
+
+    mean_ap, data_root = run(args.train_images, args.test_images,
+                             args.input_res, args.batch_size,
+                             args.num_epochs)
+    print(f"synthetic_regression: held-out Mean AP = {mean_ap:.4f} "
+          f"(band >= {args.min_ap})")
+    if not args.keep_data:
+        shutil.rmtree(data_root, ignore_errors=True)
+    if mean_ap < args.min_ap:
+        print("REGRESSION: AP below pinned band", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

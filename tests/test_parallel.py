@@ -2,6 +2,7 @@
 TPU-world fake cluster the reference never had (SURVEY.md §4)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -48,3 +49,114 @@ def test_sharded_batch_matches_single_device():
         _, _, stats = tr.train_step(tr.variables, tr.opt_state, sharded)
         losses[ndev] = float(stats["loss"])
     np.testing.assert_allclose(losses[1], losses[8], rtol=2e-4)
+
+
+def _tiny_opt(extra=""):
+    from codenet_tpu import config as cfg
+    opt = cfg.parse(
+        ("ctdet --dataset pascal --arch shufflenetv2 --input_res 32 "
+         "--batch_size 8 " + extra).split())
+    return cfg.update_dataset_info_and_set_heads(
+        opt, cfg.DATASET_SPECS["pascal"])
+
+
+def _tiny_batches(n_steps, b=8, out_res=8):
+    rng = np.random.RandomState(1)
+    batches = []
+    for _ in range(n_steps):
+        batch = {
+            "input": rng.randn(b, 32, 32, 3).astype(np.float32),
+            "hm": np.zeros((b, out_res, out_res, 20), np.float32),
+            "wh": rng.rand(b, 50, 2).astype(np.float32),
+            "reg": rng.rand(b, 50, 2).astype(np.float32),
+            "ind": rng.randint(0, out_res * out_res, (b, 50))
+            .astype(np.int64),
+            "reg_mask": np.ones((b, 50), np.uint8),
+        }
+        batch["hm"][:, 4, 4, 0] = 1.0
+        batches.append(batch)
+    return batches
+
+
+def _leaves_allclose(a, b, rtol, atol=1e-5):
+    fa, _ = jax.tree_util.tree_flatten(a)
+    fb, _ = jax.tree_util.tree_flatten(b)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("quantized", [False, True],
+                         ids=["fp32_batchstats", "qat_quantstats"])
+def test_multistep_state_equivalence(quantized):
+    """VERDICT r1 #9: >=3 optimizer steps must leave params AND the mutated
+    stats collections (batch_stats running averages / QAT quant_stats EMA)
+    identical between a 1-device and an 8-device mesh, and every leaf must
+    stay fully replicated after updates."""
+    from codenet_tpu.engine.trainer import Trainer
+    from codenet_tpu.models.layers import QuantSpec
+    from codenet_tpu.parallel import get_mesh, shard_batch
+
+    opt = _tiny_opt()
+    qspec = QuantSpec() if quantized else None
+    batches = _tiny_batches(3)
+
+    finals = {}
+    for ndev in (1, 8):
+        mesh = get_mesh(jax.devices()[:ndev])
+        tr = Trainer(opt, qspec=qspec, mesh=mesh)
+        tr.init(rng=jax.random.PRNGKey(11))
+        variables, opt_state = tr.variables, tr.opt_state
+        for batch in batches:
+            variables, opt_state, stats = tr.train_step(
+                variables, opt_state, shard_batch(mesh, batch))
+        finals[ndev] = (variables, float(stats["loss"]))
+
+    v1, loss1 = finals[1]
+    v8, loss8 = finals[8]
+    # Tolerances are bug-catching, not bitwise: Adam divides by sqrt(v)+eps,
+    # so a float-reduction-order difference of ~1e-7 on a near-zero gradient
+    # coordinate flips that coordinate's update sign — an O(lr) per-step
+    # param divergence that compounds chaotically but harmlessly. A real
+    # replication/collective bug produces O(1) differences.
+    np.testing.assert_allclose(loss1, loss8, rtol=5e-2)
+    _leaves_allclose(v1["params"], v8["params"], rtol=5e-2, atol=3e-3)
+    stats_col = "quant_stats" if quantized else "batch_stats"
+    assert stats_col in v8, list(v8)
+    _leaves_allclose(v1[stats_col], v8[stats_col], rtol=5e-2, atol=3e-3)
+    # EMA/running stats must have actually moved off their init
+    moved = jax.tree_util.tree_reduce(
+        lambda acc, leaf: acc + float(np.abs(np.asarray(leaf)).sum()),
+        v8[stats_col], 0.0)
+    assert moved > 0.0
+    # replication invariant: every leaf still fully replicated
+    for leaf in jax.tree_util.tree_leaves(v8):
+        assert leaf.sharding.is_fully_replicated, leaf.sharding
+
+
+def test_sharded_eval_matches_single_device():
+    """8-device sharded detector batch == single-device outputs (the eval
+    analogue of the train-step test)."""
+    from codenet_tpu.models import create_model
+    from codenet_tpu.models import decode as D
+    from codenet_tpu.parallel import get_mesh, replicate_tree
+    from codenet_tpu.parallel.mesh import data_sharding
+
+    heads = {"hm": 20, "wh": 2, "reg": 2}
+    model = create_model("shufflenetv2", heads, 64)
+    x = np.random.RandomState(3).randn(8, 32, 32, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+    def infer(variables, images):
+        out = model.apply(variables, images, train=False)
+        hm = jax.nn.sigmoid(out["hm"])
+        return D.ctdet_decode(hm, out["wh"], out["reg"], k=10)
+
+    single = np.asarray(jax.jit(infer)(variables, jnp.asarray(x)))
+
+    mesh = get_mesh(jax.devices())
+    vrep = replicate_tree(mesh, dict(variables))
+    xs = jax.device_put(x, data_sharding(mesh))
+    sharded = np.asarray(jax.jit(infer)(vrep, xs))
+    np.testing.assert_allclose(single, sharded, rtol=1e-4, atol=1e-5)

@@ -113,18 +113,42 @@ def bench_train(input_res=256, batch=64, iters=50, warm=10):
     return batch * iters / dt
 
 
+def _note(msg):
+    import sys
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
+    import sys
     baseline = 2000.0  # img/s/chip rebuild target (BASELINE.md)
-    best, best_bs = bench_infer()
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+
+    t0 = time.time()
+    best, best_bs = bench_infer(batches=(128,))
+    _note(f"[bench] bf16_256: {best:.0f} img/s (bs{best_bs}) "
+          f"t={time.time() - t0:.0f}s")
+
     extra = {}
-    f32, _ = bench_infer(dtype="float32", batches=(64, 128))
-    extra["ctdet_infer_f32_256"] = round(f32, 1)
-    int8, _ = bench_infer(dtype="float32", batches=(64, 128), int8=True)
-    extra["ctdet_infer_int8_256"] = round(int8, 1)
-    w2_512, _ = bench_infer(input_res=512, batches=(16, 32), w2=True,
-                            iters=50)
-    extra["ctdet_infer_bf16_512_w2"] = round(w2_512, 1)
-    extra["ctdet_train_f32_256"] = round(bench_train(), 1)
+    entries = {
+        "ctdet_infer_f32_256": lambda: bench_infer(
+            dtype="float32", batches=(128,))[0],
+        "ctdet_infer_int8_256": lambda: bench_infer(
+            dtype="float32", batches=(128,), int8=True)[0],
+        "ctdet_infer_bf16_512_w2": lambda: bench_infer(
+            input_res=512, batches=(32,), w2=True, iters=50)[0],
+        "ctdet_train_f32_256": bench_train,
+    }
+    for name, fn in entries.items():
+        if only and only not in name:
+            continue
+        t0 = time.time()
+        try:
+            v = fn()
+            extra[name] = round(v, 1)
+            _note(f"[bench] {name}: {v:.0f} img/s t={time.time() - t0:.0f}s")
+        except Exception as e:  # one failed entry must not kill the line
+            extra[name] = None
+            _note(f"[bench] {name} FAILED: {e}")
     print(json.dumps({
         "metric": "ctdet_inference_throughput_256",
         "value": round(best, 1),

@@ -127,8 +127,89 @@ def test(opt):
     return dataset.run_eval(results, opt.save_dir)
 
 
+def batched_test(opt):
+    """Batched single-scale eval (TPU extension, --batch_eval N): the
+    reference runs the detector image-by-image (batch 1, or 2 with
+    flip-test); at >10k img/s device throughput that leaves the chip idle
+    between host round-trips. Here a thread pool pre-processes images,
+    fixed-size batches run one fused forward+decode+backproject program,
+    and only class-bucketing happens per image on host. Falls back to
+    prefetch_test when the shape contract doesn't hold (multi-scale,
+    non-fixed res, non-ctdet)."""
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+
+    if (opt.task != "ctdet" or len(opt.test_scales) != 1
+            or opt.test_scales[0] != 1 or not opt.fix_res):
+        print("batch_eval: unsupported config (needs ctdet, single scale, "
+              "fixed res); falling back to per-image eval")
+        return prefetch_test(opt)
+
+    Dataset = get_dataset(opt.dataset, opt.task)
+    opt = cfg.update_dataset_info_and_set_heads(
+        opt, cfg.DATASET_SPECS[opt.dataset])
+    print(opt.heads)
+    split = "val" if not opt.trainval else "test"
+    dataset = Dataset(opt, split)
+    detector = detector_factory(opt.task)(opt)
+    bs = opt.batch_eval
+
+    def load_one(ind):
+        img_id = dataset.images[ind]
+        img_info = dataset.coco.loadImgs(ids=[img_id])[0]
+        img_path = os.path.join(dataset.img_dir, img_info["file_name"])
+        image = cv2.imread(img_path)
+        images, meta = detector.pre_process(image, 1.0)
+        return img_id, images, meta
+
+    results = {}
+    n = len(dataset)
+    with ThreadPoolExecutor(max_workers=max(1, opt.num_workers)) as pool:
+        loaded = pool.map(load_one, range(n), chunksize=4)
+        chunk = []
+        done = 0
+
+        def run_chunk(chunk):
+            ids = [c[0] for c in chunk]
+            # pad to the static batch size with the last sample
+            padded = chunk + [chunk[-1]] * (bs - len(chunk))
+            per_img = [c[1] for c in padded]  # each (1 or 2, H, W, 3)
+            if opt.flip_test:
+                stack = np.concatenate(
+                    [p[0:1] for p in per_img] + [p[1:2] for p in per_img],
+                    axis=0)
+            else:
+                stack = np.concatenate(per_img, axis=0)
+            tis = np.stack([c[2]["trans_inv"] for c in padded], axis=0)
+            dets = np.asarray(detector.process_batch(stack, tis))
+            for i, img_id in enumerate(ids):
+                per = detector.post_process(dets[i], None)
+                results[img_id] = detector.merge_outputs([per])
+
+        import time as _time
+        t0 = _time.time()
+        for item in loaded:
+            chunk.append(item)
+            if len(chunk) == bs:
+                run_chunk(chunk)
+                done += len(chunk)
+                chunk = []
+                if done % (bs * 10) == 0:
+                    print("[{}/{}] {:.1f} img/s".format(
+                        done, n, done / (_time.time() - t0)))
+        if chunk:
+            run_chunk(chunk)
+            done += len(chunk)
+        print("batched eval: {} images in {:.1f}s".format(
+            done, _time.time() - t0))
+    os.makedirs(opt.save_dir, exist_ok=True)
+    return dataset.run_eval(results, opt.save_dir)
+
+
 def main(argv=None):
     opt = cfg.parse(argv)
+    if getattr(opt, "batch_eval", 0) > 1:
+        return batched_test(opt)
     if opt.not_prefetch_test:
         return test(opt)
     return prefetch_test(opt)

@@ -117,6 +117,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nms", action="store_true")
     p.add_argument("--K", type=int, default=100)
     p.add_argument("--not_prefetch_test", action="store_true")
+    # TPU extension (not in reference opts.py): batched single-scale eval
+    p.add_argument("--batch_eval", type=int, default=0,
+                   help="batch N images per fused eval program (ctdet, "
+                        "single scale, fixed res); 0 = reference behavior")
     p.add_argument("--fix_res", action="store_true")
     p.add_argument("--keep_res", action="store_true")
     # dataset / augmentation

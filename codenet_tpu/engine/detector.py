@@ -229,12 +229,44 @@ class CtdetDetector(BaseDetector):
 
         self._process_impl = _process
 
+        def _process_batch(variables, images, trans_inv):
+            """Batched single-scale eval program (TPU extension; the
+            reference evaluates image-by-image). images: (B, H, W, 3) or,
+            with flip_test, (2B, ...) laid out [originals; flipped];
+            trans_inv: (B, 2, 3) per-image output->original affines."""
+            out = model.apply(variables, images, train=False)
+            outputs = out if isinstance(out, (list, tuple)) else [out]
+            output = outputs[-1]
+            hm = jax.nn.sigmoid(output["hm"])
+            wh = output["wh"]
+            reg = output["reg"] if reg_offset else None
+            if flip_test:
+                b = hm.shape[0] // 2
+                hm = (hm[:b] + flip_w(hm[b:])) / 2
+                wh = (wh[:b] + flip_w(wh[b:])) / 2
+                reg = reg[:b] if reg is not None else None
+            dets = D.ctdet_decode(hm, wh, reg=reg, cat_spec_wh=cat_spec_wh,
+                                  k=k)
+            return D.backproject_dets(dets, trans_inv, 1.0)
+
+        self._process_batch_impl = _process_batch
+
     def process(self, images, trans_inv, scale):
         fn = self._weight_closed(
             lambda v, images, trans_inv, inv_scale: self._process_impl(
                 v, images, trans_inv, inv_scale))
         return fn(jnp.asarray(images), jnp.asarray(trans_inv),
                   jnp.asarray(1.0 / scale, jnp.float32))
+
+    def process_batch(self, images, trans_invs):
+        """Run the batched eval program with weights closed over."""
+        if getattr(self, "_closed_batch_vars", None) is not self.variables:
+            self._closed_batch_vars = self.variables
+            v = self.variables
+            self._closed_batch_fn = jax.jit(
+                lambda images, ti: self._process_batch_impl(v, images, ti))
+        return self._closed_batch_fn(jnp.asarray(images),
+                                     jnp.asarray(trans_invs))
 
     def post_process(self, dets, meta, scale=1):
         """Bucket image-space dets by 1-based class (the affine

@@ -199,10 +199,26 @@ class Trainer:
         batch_time = AverageMeter()
         end = time.time()
         n_iters = len(loader) if num_iters < 0 else num_iters
+
+        # Stats materialize lazily: float(stats) is a device sync, so doing
+        # it every step stalls the pipeline the async dispatch + donated
+        # buffers otherwise build (the data loader then can't run ahead
+        # either). Buffer the device dicts and convert only when printing
+        # or at epoch end.
+        pending = []
+
+        def flush():
+            for st, bs in pending:
+                for k, v in st.items():
+                    meters.setdefault(k, AverageMeter()).update(
+                        float(v), bs)
+            pending.clear()
+
         for it, batch in enumerate(loader):
             if it >= n_iters:
                 break
             meta = batch.pop("meta", None)
+            bs = batch["input"].shape[0]
             batch = shard_batch(self.mesh, batch)
             data_time.update(time.time() - end)
 
@@ -211,13 +227,13 @@ class Trainer:
                     self.variables, self.opt_state, batch)
             else:
                 stats = self.val_step(self.variables, batch)
-            stats = {k: float(v) for k, v in stats.items()}
-            for k, v in stats.items():
-                meters.setdefault(k, AverageMeter()).update(
-                    v, batch["input"].shape[0])
+            pending.append((stats, bs))
+            if len(pending) > 4:  # bound in-flight steps
+                flush()
             batch_time.update(time.time() - end)
             end = time.time()
             if print_iter and it % print_iter == 0:
+                flush()
                 msg = " ".join("{} {:.4f}".format(k, m.avg)
                                for k, m in meters.items())
                 print("{} epoch {} [{}/{}] {} | data {:.3f}s net {:.3f}s"
@@ -225,6 +241,7 @@ class Trainer:
                               data_time.avg, batch_time.avg))
             if on_batch is not None:
                 on_batch(it, batch, meta)
+        flush()
         return {k: m.avg for k, m in meters.items()}
 
     def train(self, epoch, loader, **kw):

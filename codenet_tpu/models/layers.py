@@ -391,9 +391,16 @@ class CodesignDeformBlock(nn.Module):
         if self.stride == 1 and use_fast_path():
             # VMEM-resident Pallas kernel (Pallas backward too): the fast
             # path for every stride-1 mode — f32 default eval/train, bf16,
-            # QAT fake-quant, and the dequantized int8 deform input
-            kdtype = jnp.bfloat16 if self.dtype == jnp.bfloat16 \
-                else xf.dtype
+            # QAT fake-quant, and the dequantized int8 deform input.
+            # int8 inference samples in bf16: the input has only 2^a_bit
+            # levels (exact in bf16) and the next QuantAct re-quantizes to
+            # a_bit anyway, so bf16 interpolation costs no accuracy while
+            # using the fast MXU path.
+            if self.dtype == jnp.bfloat16 or (
+                    self.qspec is not None and self.qspec.int8_infer):
+                kdtype = jnp.bfloat16
+            else:
+                kdtype = xf.dtype
             y = codesign_deform_conv_fast(xf.astype(kdtype),
                                           s.astype(jnp.float32),
                                           dw_kernel.astype(kdtype))

@@ -1,8 +1,9 @@
 """Run logging (reference lib/logger.py).
 
 Writes opt.txt (full config dump + versions), a timestamped log.txt, and
-scalar summaries (tensorboard via flax.metric_writers when available, else
-a plain scalars.jsonl).
+per-epoch scalar summaries to scalars.jsonl (one {"tag", "value", "step"}
+record per line — the greppable analogue of the reference's tensorboardX
+scalars, logger.py:69-72).
 """
 
 from __future__ import annotations

@@ -58,7 +58,8 @@ def _gen_images(rng, num_images, img_w, img_h, first_id, max_objects=3,
 
 
 def make_voc_dataset(root, num_images=4, img_w=128, img_h=96, seed=0,
-                     test_images=None, max_objects=3, num_classes=20):
+                     test_images=None, max_objects=3, num_classes=20,
+                     min_side=16):
     """Write <root>/voc/{images,annotations}/ with deterministic boxes.
 
     test_images=None (default): test2007 == trainval0712 (the round-1
@@ -76,7 +77,8 @@ def make_voc_dataset(root, num_images=4, img_w=128, img_h=96, seed=0,
 
     tr_imgs, tr_anns, tr_pix = _gen_images(
         rng, num_images, img_w, img_h, first_id=1,
-        max_objects=max_objects, num_classes=num_classes)
+        max_objects=max_objects, num_classes=num_classes,
+        min_side=min_side)
     splits = {"trainval0712": (tr_imgs, tr_anns)}
     pixels = list(tr_pix)
     if test_images is None:
@@ -85,7 +87,8 @@ def make_voc_dataset(root, num_images=4, img_w=128, img_h=96, seed=0,
         te_rng = np.random.RandomState(seed + 1)
         te_imgs, te_anns, te_pix = _gen_images(
             te_rng, test_images, img_w, img_h, first_id=num_images + 1,
-            max_objects=max_objects, num_classes=num_classes)
+            max_objects=max_objects, num_classes=num_classes,
+            min_side=min_side)
         splits["test2007"] = (te_imgs, te_anns)
         pixels += te_pix
 

@@ -1,0 +1,68 @@
+"""Batched eval (--batch_eval) must reproduce per-image eval exactly.
+
+The batched driver is a TPU-throughput extension; its contract is
+bit-equal results to the reference-shaped per-image path (same weights,
+same pre-processing, same decode) including the ragged last chunk.
+"""
+
+import numpy as np
+import pytest
+
+from codenet_tpu import config as cfg
+from synthetic import make_voc_dataset
+
+pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    # 5 images: batch 2 leaves a ragged final chunk
+    make_voc_dataset(str(root), num_images=5, img_w=120, img_h=90)
+    return str(root)
+
+
+def _opt(voc_root, exp_id, extra=""):
+    args = ("ctdet --dataset pascal --arch shufflenetv2 --input_res 64 "
+            "--exp_id " + exp_id + " " + extra)
+    opt = cfg.parse(args.split())
+    opt.data_dir = voc_root.replace("/voc", "")
+    return opt
+
+
+def _load_results(opt):
+    import json
+    import os
+    with open(os.path.join(opt.save_dir, "results.json")) as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize("flip", ["", "--flip_test"])
+def test_batched_matches_per_image(voc_root, flip):
+    from codenet_tpu.cli.test import prefetch_test, batched_test
+
+    a = _opt(voc_root, "bev_base", flip)
+    prefetch_test(a)
+    b = _opt(voc_root, "bev_batched", flip + " --batch_eval 2")
+    batched_test(b)
+    # compare the written per-class, per-image detection arrays — the
+    # detectors share init weights (PRNGKey(0)), so boxes must match
+    ra, rb = _load_results(a), _load_results(b)
+    assert len(ra) == len(rb)
+    for cls in range(1, len(ra)):
+        assert len(ra[cls]) == len(rb[cls]), cls
+        for i, (da, db) in enumerate(zip(ra[cls], rb[cls])):
+            da = np.asarray(da, np.float32).reshape(-1, 5)
+            db = np.asarray(db, np.float32).reshape(-1, 5)
+            assert da.shape == db.shape, (cls, i, da.shape, db.shape)
+            np.testing.assert_allclose(da, db, rtol=1e-4, atol=1e-3,
+                                       err_msg=f"cls{cls} img{i}")
+
+
+def test_batched_falls_back_on_multiscale(voc_root, capsys):
+    from codenet_tpu.cli.test import batched_test
+
+    out = batched_test(_opt(voc_root, "bev_fb",
+                            "--batch_eval 2 --test_scales 0.5,1"))
+    assert "falling back" in capsys.readouterr().out
+    assert out is not None

@@ -105,3 +105,38 @@ def test_model_integration_interpret(monkeypatch):
     fast = block.apply(variables, x)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(fast),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_sharded_custom_partitioning(monkeypatch):
+    """On a multi-device mesh the kernels must partition over the batch dim
+    (not replicate): dx/out stay batch-sharded, dw comes back replicated
+    via the lower_fn psum. Validated in interpret mode on the 8-device
+    virtual CPU mesh."""
+    monkeypatch.setenv("CODENET_PALLAS_INTERPRET", "1")
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    rng = np.random.RandomState(0)
+    xh = rng.randn(8, 8, 8, 64).astype(np.float32)
+    sh = rng.uniform(-1, 2, (8, 8, 8, 1)).astype(np.float32)
+    w = jnp.asarray((rng.randn(3, 3, 1, 64) * 0.2).astype(np.float32))
+    x = jax.device_put(xh, NamedSharding(mesh, P("data")))
+    s = jax.device_put(sh, NamedSharding(mesh, P("data")))
+
+    out = jax.jit(DP.codesign_deform_conv_fast)(x, s, w)
+    ref = codesign_deform_conv(jnp.asarray(xh), jnp.asarray(sh), w)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+    assert out.sharding.spec == P("data"), out.sharding
+
+    g = jax.jit(jax.grad(
+        lambda x, s, w: jnp.sum(jnp.sin(DP.codesign_deform_conv_fast(
+            x, s, w))), argnums=(0, 1, 2)))(x, s, w)
+    gr = jax.grad(
+        lambda x, s, w: jnp.sum(jnp.sin(codesign_deform_conv(x, s, w))),
+        argnums=(0, 1, 2))(jnp.asarray(xh), jnp.asarray(sh), w)
+    for name, a, b in zip(("dx", "ds", "dw"), g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
+    assert g[0].sharding.spec == P("data")
+    assert g[2].sharding.is_fully_replicated

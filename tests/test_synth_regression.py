@@ -1,13 +1,17 @@
 """Non-overfit accuracy regression, CI-sized (VERDICT r1 #4).
 
-Trains the flagship on 24 synthetic images and scores Mean AP on 8
-HELD-OUT images (different seed, same color-coded class distribution).
-Unlike the 6-image overfit e2e test, this catches accuracy drift: a broken
+Trains the flagship on 16 synthetic images and scores Mean AP on 8
+HELD-OUT images (different seed, same color-coded distribution). Unlike
+the 6-image overfit e2e test, this catches accuracy drift: a broken
 kernel gradient, decode change, or target-generation bug tanks the
 held-out AP long before it would show on real VOC.
 
-The TPU-sized variant (64 train / 16 test @128, tighter band) is
-tools_tpu/synthetic_regression.py.
+Calibration (8-device virtual CPU mesh, XLA deform path): 300 optimizer
+steps reach held-out AP ~0.98 on this single-class task; 160 steps only
+~0.16 (convergence transitions between), so the band 0.60 has headroom
+against step-count noise while any real regression (AP ~0) fails hard.
+
+The TPU-sized multi-class variant is tools_tpu/synthetic_regression.py.
 """
 
 import json
@@ -21,22 +25,20 @@ from synthetic import make_voc_dataset, VOC_CLASSES
 
 pytest.importorskip("cv2")
 
-# Calibrated on the 8-device virtual CPU mesh (XLA deform path): observed
-# present-class Mean AP ~see calibration note in the assert; the band has
-# >=0.15 headroom below the observed value to absorb seed/backend noise
-# while still catching real regressions (a broken grad gives ~0).
-MIN_PRESENT_AP = 0.35
+MIN_PRESENT_AP = 0.60
 
 
 @pytest.mark.slow
 def test_synthetic_generalization_regression(tmp_path):
     root = str(tmp_path)
-    make_voc_dataset(root, num_images=24, img_w=128, img_h=96, seed=0,
-                     test_images=8)
+    make_voc_dataset(root, num_images=16, img_w=96, img_h=96, seed=0,
+                     test_images=8, num_classes=1, min_side=40,
+                     max_objects=1)
 
     args = ("ctdet --dataset pascal --arch shufflenetv2 --input_res 96 "
-            "--batch_size 8 --num_workers 2 --num_epochs 12 "
-            "--lr 2.5e-4 --lr_step 9 --val_intervals -1 "
+            "--batch_size 8 --num_workers 2 --num_epochs 150 "
+            "--lr 1e-3 --lr_step 120 --val_intervals -1 "
+            "--not_rand_crop --no_color_aug "
             "--exp_id synthreg_ci --seed 0").split()
     opt = cfg.parse(args, root_dir=root)
     opt.data_dir = root

@@ -1,0 +1,39 @@
+"""tools_tpu driver scripts: command construction and dry-run wiring."""
+
+import subprocess
+import sys
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_run_configs_ae_dry_run_commands():
+    out = subprocess.check_output(
+        [sys.executable, "tools_tpu/run_configs_ae.py", "--dry_run"],
+        cwd=REPO, text=True)
+    lines = out.strip().splitlines()
+    # 5 configs x 3 stages
+    assert len(lines) == 15, out
+    # config flags mirror the README recipes exactly
+    a_train = next(l for l in lines if l.startswith("[a:fp32_train]"))
+    assert "--input_res 256" in a_train and "--num_epochs 90" in a_train \
+        and "--lr_step 50,70" in a_train and "--w2" not in a_train
+    b_eval = next(l for l in lines if l.startswith("[b:eval]"))
+    assert "--maxpool" in b_eval and "--flip_test" in b_eval \
+        and "--resume-quantize" in b_eval
+    d_qat = next(l for l in lines if l.startswith("[d:qat_finetune]"))
+    assert "--w2" in d_qat and "--num_epochs 180" in d_qat \
+        and "--wt-percentile" in d_qat and "--resume" in d_qat
+    e_train = next(l for l in lines if l.startswith("[e:fp32_train]"))
+    assert "--w2" in e_train and "--maxpool" in e_train \
+        and "--input_res 512" in e_train
+
+
+def test_run_configs_ae_subset():
+    out = subprocess.check_output(
+        [sys.executable, "tools_tpu/run_configs_ae.py", "--dry_run",
+         "--configs", "c", "--fp32_epochs", "2", "--qat_epochs", "1"],
+        cwd=REPO, text=True)
+    lines = out.strip().splitlines()
+    assert len(lines) == 3
+    assert "--num_epochs 2" in lines[0] and "--num_epochs 1" in lines[1]

@@ -29,13 +29,14 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
 def run(train_images=64, test_images=16, input_res=128, batch_size=16,
-        num_epochs=60, lr=2.5e-4, exp_id="synthreg", data_root=None,
-        seed=0):
+        num_epochs=400, lr=1e-3, exp_id="synthreg", data_root=None,
+        seed=0, num_classes=8, min_side=32):
     from synthetic import make_voc_dataset
 
     data_root = data_root or tempfile.mkdtemp(prefix="synthreg_")
     make_voc_dataset(data_root, num_images=train_images, img_w=160,
-                     img_h=120, seed=seed, test_images=test_images)
+                     img_h=120, seed=seed, test_images=test_images,
+                     num_classes=num_classes, min_side=min_side)
     common = ["ctdet", "--dataset", "pascal", "--arch", "shufflenetv2",
               "--input_res", str(input_res), "--data_dir", data_root,
               "--exp_id", exp_id]
@@ -43,8 +44,9 @@ def run(train_images=64, test_images=16, input_res=128, batch_size=16,
              "--batch_size", str(batch_size),
              "--num_epochs", str(num_epochs),
              "--lr", str(lr),
-             "--lr_step", str(int(num_epochs * 0.7)),
-             "--num_workers", "2", "--val_intervals", "-1", "--seed",
+             "--lr_step", str(int(num_epochs * 0.8)),
+             "--no_color_aug",
+             "--num_workers", "4", "--val_intervals", "-1", "--seed",
              str(seed)]
     test = [sys.executable, "test.py", *common, "--resume"]
     for cmd in (train, test):
@@ -80,13 +82,14 @@ def main(argv=None):
     ap.add_argument("--test_images", type=int, default=16)
     ap.add_argument("--input_res", type=int, default=128)
     ap.add_argument("--batch_size", type=int, default=16)
-    ap.add_argument("--num_epochs", type=int, default=60)
+    ap.add_argument("--num_epochs", type=int, default=400)
+    ap.add_argument("--num_classes", type=int, default=8)
     ap.add_argument("--keep_data", action="store_true")
     args = ap.parse_args(argv)
 
     mean_ap, data_root = run(args.train_images, args.test_images,
                              args.input_res, args.batch_size,
-                             args.num_epochs)
+                             args.num_epochs, num_classes=args.num_classes)
     print(f"synthetic_regression: held-out Mean AP = {mean_ap:.4f} "
           f"(band >= {args.min_ap})")
     if not args.keep_data:

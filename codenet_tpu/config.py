@@ -121,6 +121,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_eval", type=int, default=0,
                    help="batch N images per fused eval program (ctdet, "
                         "single scale, fixed res); 0 = reference behavior")
+    # TPU extension: ship uint8 inputs and run color-aug + normalization
+    # inside the jitted step (4x less host->device traffic). Set
+    # --host_normalize for the reference's host-side numpy path.
+    p.add_argument("--host_normalize", action="store_true",
+                   help="normalize/color-aug on host (reference behavior) "
+                        "instead of on device")
     p.add_argument("--fix_res", action="store_true")
     p.add_argument("--keep_res", action="store_true")
     # dataset / augmentation

@@ -7,6 +7,12 @@ into fixed-shape numpy dicts (static shapes => one XLA program), and
 prefetches ahead of the device. Batch order is deterministic regardless of
 worker count: workers pull batch indices from a shared queue and publish
 results into per-batch slots that the consumer drains in order.
+
+Determinism caveat (shared with the reference's torch DataLoader +
+in-sampler np.random): with num_workers > 1 the samplers draw from shared
+RNG streams, so augmentation draws depend on thread timing. Use
+num_workers=1 where bit-reproducibility matters (e.g. the pinned
+accuracy-regression test).
 """
 
 from __future__ import annotations

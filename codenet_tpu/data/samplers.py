@@ -22,6 +22,30 @@ from .affine import (affine_transform, draw_dense_reg, draw_msra_gaussian,
                      draw_umich_gaussian, gaussian_radius,
                      get_affine_transform)
 from .image_aug import color_aug
+from .device_aug import draw_color_aug_params, identity_aug_params
+
+
+def finish_input(sampler, inp_u8, is_train):
+    """Shared input tail: either the reference's host path (/255 ->
+    color_aug -> normalize, f32 'input') or device mode ('input_u8' +
+    7 floats of aug state; the jitted step runs device_aug.device_
+    preprocess) — 4x less host->device traffic."""
+    opt = sampler.opt
+    if getattr(opt, "host_normalize", False):
+        inp = inp_u8.astype(np.float32) / 255.0
+        if is_train and not opt.no_color_aug:
+            color_aug(sampler._data_rng, inp, sampler._eig_val,
+                      sampler._eig_vec)
+        inp = (inp - sampler.mean) / sampler.std
+        return {"input": inp.astype(np.float32)}
+    if is_train and not opt.no_color_aug:
+        perm, alphas, light = draw_color_aug_params(
+            sampler._data_rng, sampler._eig_val, sampler._eig_vec)
+    else:
+        perm, alphas, light = identity_aug_params()
+    return {"input_u8": np.ascontiguousarray(inp_u8),
+            "aug_perm": np.int32(perm), "aug_alphas": alphas,
+            "aug_light": light}
 
 
 def coco_box_to_bbox(box):
@@ -83,19 +107,26 @@ class CTDetSampler:
                 c[0] = width - c[0] - 1
 
         trans_input = get_affine_transform(c, s, 0, [input_w, input_h])
-        inp = cv2.warpAffine(img, np.asarray(trans_input),
-                             (input_w, input_h), flags=cv2.INTER_LINEAR)
-        inp = inp.astype(np.float32) / 255.0
-        if self.split == "train" and not self.opt.no_color_aug:
-            color_aug(self._data_rng, inp, self._eig_val, self._eig_vec)
-        inp = (inp - self.mean) / self.std  # stays HWC (NHWC pipeline)
+        inp_u8 = cv2.warpAffine(img, np.asarray(trans_input),
+                                (input_w, input_h), flags=cv2.INTER_LINEAR)
+        input_fields = finish_input(self, inp_u8, self.split == "train")
 
         output_h = input_h // self.opt.down_ratio
         output_w = input_w // self.opt.down_ratio
         num_classes = self.num_classes
         trans_output = get_affine_transform(c, s, 0, [output_w, output_h])
 
+        # sparse-hm device mode: ship (ct, radius, cls) per object and let
+        # the jitted step render the gaussian heatmap (device_aug.render_
+        # umich_hm) — the dense hm is the largest target tensor. Dense
+        # host drawing stays for mse_loss (msra gaussian) and dense_wh
+        # (which samples hm while drawing).
+        sparse_hm = ("input_u8" in input_fields and not self.opt.mse_loss
+                     and not self.opt.dense_wh)
         hm = np.zeros((output_h, output_w, num_classes), dtype=np.float32)
+        hm_ct = np.zeros((self.max_objs, 2), dtype=np.int32)
+        hm_radius = np.zeros((self.max_objs,), dtype=np.int32)
+        hm_cls = np.zeros((self.max_objs,), dtype=np.int32)
         wh = np.zeros((self.max_objs, 2), dtype=np.float32)
         dense_wh = np.zeros((output_h, output_w, 2), dtype=np.float32)
         reg = np.zeros((self.max_objs, 2), dtype=np.float32)
@@ -129,9 +160,14 @@ class CTDetSampler:
                 ct = np.array([(bbox[0] + bbox[2]) / 2,
                                (bbox[1] + bbox[3]) / 2], dtype=np.float32)
                 ct_int = ct.astype(np.int32)
-                hm_slice = np.ascontiguousarray(hm[:, :, cls_id])
-                draw_gaussian(hm_slice, ct_int, radius)
-                hm[:, :, cls_id] = hm_slice
+                if sparse_hm:
+                    hm_ct[k] = ct_int
+                    hm_radius[k] = radius
+                    hm_cls[k] = cls_id
+                else:
+                    hm_slice = np.ascontiguousarray(hm[:, :, cls_id])
+                    draw_gaussian(hm_slice, ct_int, radius)
+                    hm[:, :, cls_id] = hm_slice
                 wh[k] = 1.0 * w, 1.0 * h
                 ind[k] = ct_int[1] * output_w + ct_int[0]
                 reg[k] = ct - ct_int
@@ -145,8 +181,12 @@ class CTDetSampler:
                 gt_det.append([ct[0] - w / 2, ct[1] - h / 2,
                                ct[0] + w / 2, ct[1] + h / 2, 1, cls_id])
 
-        ret = {"input": inp.astype(np.float32), "hm": hm,
+        ret = {**input_fields,
                "reg_mask": reg_mask, "ind": ind, "wh": wh}
+        if sparse_hm:
+            ret.update(hm_ct=hm_ct, hm_radius=hm_radius, hm_cls=hm_cls)
+        else:
+            ret["hm"] = hm
         if self.opt.dense_wh:
             hm_a = hm.max(axis=2, keepdims=True)
             ret.update({"dense_wh": dense_wh,

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..data.device_aug import model_input, resolve_targets
 from ..models import create_model
 from ..models.losses import LOSS_FACTORY
 from ..parallel import shard_batch, replicate_tree
@@ -47,27 +48,33 @@ class LossOpts:
         return isinstance(other, LossOpts) and self._key == other._key
 
 
-def make_train_step(model, loss_fn, loss_opts, tx, quantized):
+def make_train_step(model, loss_fn, loss_opts, tx, quantized, mean, std,
+                    down_ratio=4, num_classes=None):
     """Build the jitted train step.
 
     quantized=False: mutate batch_stats (BN running averages).
     quantized=True: BN frozen, mutate quant_stats (activation EMA).
+    The input resolves via device_aug.model_input — device-side color aug
+    + normalization when the sampler ships uint8 — and sparse heatmap
+    targets render on device (resolve_targets).
     """
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(variables, opt_state, batch):
         params = variables["params"]
         aux_vars = {k: v for k, v in variables.items() if k != "params"}
+        inp = model_input(batch, mean, std)
+        batch = resolve_targets(batch, inp, down_ratio, num_classes)
 
         def compute_loss(p):
             model_vars = {"params": p, **aux_vars}
             if quantized:
                 out, updates = model.apply(
-                    model_vars, batch["input"], train=False,
+                    model_vars, inp, train=False,
                     update_stats=True, mutable=["quant_stats"])
             else:
                 out, updates = model.apply(
-                    model_vars, batch["input"], train=True,
+                    model_vars, inp, train=True,
                     mutable=["batch_stats"])
             outputs = out if isinstance(out, (list, tuple)) else [out]
             loss, stats = loss_fn(outputs, batch, loss_opts)
@@ -82,10 +89,13 @@ def make_train_step(model, loss_fn, loss_opts, tx, quantized):
     return train_step
 
 
-def make_val_step(model, loss_fn, loss_opts):
+def make_val_step(model, loss_fn, loss_opts, mean, std, down_ratio=4,
+                  num_classes=None):
     @jax.jit
     def val_step(variables, batch):
-        out = model.apply(variables, batch["input"], train=False)
+        inp = model_input(batch, mean, std)
+        batch = resolve_targets(batch, inp, down_ratio, num_classes)
+        out = model.apply(variables, inp, train=False)
         outputs = out if isinstance(out, (list, tuple)) else [out]
         _, stats = loss_fn(outputs, batch, loss_opts)
         return stats
@@ -99,7 +109,10 @@ def make_oracle_val_step(model, loss_fn, loss_opts, opt):
     from ..utils.oracle import gen_oracle_map
 
     def val_step(variables, batch):
-        out = model.apply(variables, batch["input"], train=False)
+        inp = model_input(batch, opt.mean, opt.std)
+        batch = resolve_targets(batch, inp, opt.down_ratio,
+                                opt.num_classes)
+        out = model.apply(variables, inp, train=False)
         outputs = list(out) if isinstance(out, (list, tuple)) else [out]
         subbed = []
         for output in outputs:
@@ -162,7 +175,11 @@ class Trainer:
         self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=opt.lr)
         self.train_step = make_train_step(self.model, self.loss_fn,
                                           self.loss_opts, self.tx,
-                                          quantized=qspec is not None)
+                                          quantized=qspec is not None,
+                                          mean=np.asarray(opt.mean),
+                                          std=np.asarray(opt.std),
+                                          down_ratio=opt.down_ratio,
+                                          num_classes=opt.num_classes)
         oracle_on = any(getattr(opt, f, False) for f in
                         ("eval_oracle_hm", "eval_oracle_wh",
                          "eval_oracle_offset", "eval_oracle_dep",
@@ -173,7 +190,11 @@ class Trainer:
                                                  self.loss_opts, opt)
         else:
             self.val_step = make_val_step(self.model, self.loss_fn,
-                                          self.loss_opts)
+                                          self.loss_opts,
+                                          mean=np.asarray(opt.mean),
+                                          std=np.asarray(opt.std),
+                                          down_ratio=opt.down_ratio,
+                                          num_classes=opt.num_classes)
         self.variables = None
         self.opt_state = None
 
@@ -218,7 +239,8 @@ class Trainer:
             if it >= n_iters:
                 break
             meta = batch.pop("meta", None)
-            bs = batch["input"].shape[0]
+            bs = batch["input_u8" if "input_u8" in batch
+                       else "input"].shape[0]
             batch = shard_batch(self.mesh, batch)
             data_time.update(time.time() - end)
 

@@ -40,16 +40,34 @@ def test_sampler_targets(voc_root):
     Dataset = get_dataset("pascal", "ctdet")
     ds = Dataset(opt, "train")
     sample = ds.get_sample(0)
-    assert sample["input"].shape == (64, 64, 3)
-    assert sample["hm"].shape == (16, 16, 20)
+    # device-normalize mode ships the warped uint8 image + aug state and
+    # the sparse heatmap object list (rendered on device)
+    assert sample["input_u8"].shape == (64, 64, 3)
+    assert sample["input_u8"].dtype == np.uint8
+    assert sample["aug_alphas"].shape == (3,)
+    assert sample["hm_ct"].shape == (50, 2)
     assert sample["wh"].shape == (50, 2)
     assert sample["reg_mask"].sum() >= 1
-    assert sample["hm"].max() == 1.0
+    from codenet_tpu.data.device_aug import render_umich_hm
+    hm = np.asarray(render_umich_hm(
+        sample["hm_ct"][None], sample["hm_radius"][None],
+        sample["hm_cls"][None], sample["reg_mask"][None], 16, 16, 20))[0]
+    assert hm.shape == (16, 16, 20)
+    assert hm.max() == 1.0
     # ind consistency: hm peak location == ind
     k = int(np.argmax(sample["reg_mask"]))
     ind = int(sample["ind"][k])
     y, x = ind // 16, ind % 16
-    assert sample["hm"][y, x].max() == 1.0
+    assert hm[y, x].max() == 1.0
+
+    # --host_normalize restores the reference's f32 + dense-hm path, and
+    # the host-drawn hm must equal the device render
+    opt_host = _opt(voc_root, "--host_normalize")
+    host_sample = get_dataset("pascal", "ctdet")(
+        opt_host, "train").get_sample(0)
+    assert host_sample["input"].shape == (64, 64, 3)
+    assert host_sample["input"].dtype == np.float32
+    assert host_sample["hm"].shape == (16, 16, 20)
 
 
 def test_train_steps_and_loss_finite(voc_root):
@@ -107,3 +125,28 @@ def test_quant_train_step_runs(voc_root):
     # EMA ranges must have moved
     qs = trainer.variables["quant_stats"]
     assert float(qs["layer0_act"]["x_max"][0]) != 0.0
+
+
+def test_device_vs_host_input_parity(voc_root):
+    """Same seeds => the device-preprocessed input equals the host path's
+    f32 'input' (the two modes share one random stream by construction)."""
+    import random
+    from codenet_tpu.data.datasets import get_dataset
+    from codenet_tpu.data.device_aug import device_preprocess
+
+    DS = get_dataset("pascal", "ctdet")
+    random.seed(11)
+    np.random.seed(11)
+    host = DS(_opt(voc_root, "--host_normalize"), "train").get_sample(1)
+    random.seed(11)
+    np.random.seed(11)
+    dev = DS(_opt(voc_root), "train").get_sample(1)
+    from codenet_tpu import config as cfg
+    spec = cfg.DATASET_SPECS["pascal"]
+    out = device_preprocess(
+        dev["input_u8"][None], np.array([dev["aug_perm"]], np.int32),
+        dev["aug_alphas"][None], dev["aug_light"][None],
+        np.asarray(spec["mean"]).reshape(3), np.asarray(spec["std"])
+        .reshape(3))
+    np.testing.assert_allclose(np.asarray(out[0]), host["input"],
+                               rtol=2e-5, atol=2e-5)

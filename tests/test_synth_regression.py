@@ -35,8 +35,12 @@ def test_synthetic_generalization_regression(tmp_path):
                      test_images=8, num_classes=1, min_side=40,
                      max_objects=1)
 
+    # num_workers=1: multiple workers share one RNG stream, making the
+    # draw order thread-timing-dependent (observed held-out AP spread
+    # 0.52-0.98 across identical invocations); a single worker is
+    # deterministic
     args = ("ctdet --dataset pascal --arch shufflenetv2 --input_res 96 "
-            "--batch_size 8 --num_workers 2 --num_epochs 150 "
+            "--batch_size 8 --num_workers 1 --num_epochs 150 "
             "--lr 1e-3 --lr_step 120 --val_intervals -1 "
             "--not_rand_crop --no_color_aug "
             "--exp_id synthreg_ci --seed 0").split()

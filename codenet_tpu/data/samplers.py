@@ -261,7 +261,9 @@ class DddSampler:
         inp = cv2.warpAffine(img, np.asarray(trans_input),
                              (self.opt.input_w, self.opt.input_h),
                              flags=cv2.INTER_LINEAR)
-        inp = (inp.astype(np.float32) / 255.0 - self.mean) / self.std
+        # reference ddd sampler has no color aug: device mode ships uint8
+        # with identity aug params (normalize-only on device)
+        input_fields = finish_input(self, inp, is_train=False)
 
         num_classes = self.opt.num_classes
         out_w, out_h = self.opt.output_w, self.opt.output_h
@@ -340,7 +342,7 @@ class DddSampler:
                 reg_mask[k] = 1 if not aug else 0
                 rot_mask[k] = 1
 
-        ret = {"input": inp.astype(np.float32), "hm": hm, "dep": dep,
+        ret = {**input_fields, "hm": hm, "dep": dep,
                "dim": dim, "ind": ind, "rotbin": rotbin, "rotres": rotres,
                "reg_mask": reg_mask, "rot_mask": rot_mask}
         if self.opt.reg_bbox:
@@ -397,10 +399,7 @@ class MultiPoseSampler:
         trans_input = get_affine_transform(c, s, rot, [input_res, input_res])
         inp = cv2.warpAffine(img, np.asarray(trans_input),
                              (input_res, input_res), flags=cv2.INTER_LINEAR)
-        inp = inp.astype(np.float32) / 255.0
-        if self.split == "train" and not self.opt.no_color_aug:
-            color_aug(self._data_rng, inp, self._eig_val, self._eig_vec)
-        inp = (inp - self.mean) / self.std
+        input_fields = finish_input(self, inp, self.split == "train")
 
         output_res = self.opt.output_res
         num_joints = self.num_joints
@@ -499,7 +498,7 @@ class MultiPoseSampler:
             hm = hm * 0 + 0.9999
             reg_mask *= 0
             kps_mask *= 0
-        ret = {"input": inp.astype(np.float32), "hm": hm,
+        ret = {**input_fields, "hm": hm,
                "reg_mask": reg_mask, "ind": ind, "wh": wh, "hps": kps,
                "hps_mask": kps_mask}
         if self.opt.dense_hp:
@@ -568,10 +567,7 @@ class ExdetSampler:
         trans_input = get_affine_transform(c, s, 0, [input_res, input_res])
         inp = cv2.warpAffine(img, np.asarray(trans_input),
                              (input_res, input_res), flags=cv2.INTER_LINEAR)
-        inp = inp.astype(np.float32) / 255.0
-        if self.split == "train" and not self.opt.no_color_aug:
-            color_aug(self._data_rng, inp, self._eig_val, self._eig_vec)
-        inp = (inp - self.mean) / self.std
+        input_fields = finish_input(self, inp, self.split == "train")
 
         output_res = self.opt.output_res
         num_classes = self.opt.num_classes
@@ -622,7 +618,7 @@ class ExdetSampler:
                 hm_c[:, :, cls_id] = sl
                 reg_mask[k] = 1
 
-        ret = {"input": inp.astype(np.float32), "hm_t": hms["t"],
+        ret = {**input_fields, "hm_t": hms["t"],
                "hm_l": hms["l"], "hm_b": hms["b"], "hm_r": hms["r"],
                "hm_c": hm_c}
         if self.opt.reg_offset:

@@ -73,9 +73,12 @@ def run_training(opt, qspec=None, load_fp32_then_quantize=False):
                     os.path.join(save_dir, "model_best.ckpt"), epoch,
                     trainer.variables)
         else:
-            checkpoint.save_model(
-                os.path.join(save_dir, "model_{}.ckpt".format(mark)),
-                epoch, trainer.variables, trainer.opt_state)
+            save_every = max(1, getattr(opt, "save_intervals", 1))
+            if (epoch % save_every == 0 or epoch == opt.num_epochs
+                    or getattr(opt, "save_all", False)):
+                checkpoint.save_model(
+                    os.path.join(save_dir, "model_{}.ckpt".format(mark)),
+                    epoch, trainer.variables, trainer.opt_state)
         logger.write("\n")
         if epoch in opt.lr_step:
             checkpoint.save_model(

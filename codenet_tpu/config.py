@@ -127,6 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--host_normalize", action="store_true",
                    help="normalize/color-aug on host (reference behavior) "
                         "instead of on device")
+    # TPU extension: checkpoint cadence. The reference writes model_last
+    # every epoch; with many tiny epochs (or a thin host link) the
+    # params device->host pull dominates wall time.
+    p.add_argument("--save_intervals", type=int, default=1,
+                   help="write model_last every N epochs (final epoch "
+                        "always saves); 1 = reference behavior")
     p.add_argument("--fix_res", action="store_true")
     p.add_argument("--keep_res", action="store_true")
     # dataset / augmentation

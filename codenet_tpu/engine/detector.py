@@ -35,6 +35,18 @@ def flip_w(x):
     return x[:, :, ::-1, :]
 
 
+def eval_input(images, mean, std):
+    """Device-side eval normalization: detectors ship the warped uint8
+    image (4x less host->device traffic) and the jitted program applies
+    /255 - mean / std; float inputs (--host_normalize, tests) pass
+    through."""
+    if images.dtype != jnp.uint8:
+        return images
+    mean = jnp.asarray(np.asarray(mean).reshape(3), jnp.float32)
+    std = jnp.asarray(np.asarray(std).reshape(3), jnp.float32)
+    return (images.astype(jnp.float32) / 255.0 - mean) / std
+
+
 class BaseDetector:
     def __init__(self, opt, variables=None):
         self.opt = opt
@@ -91,8 +103,10 @@ class BaseDetector:
         inp_image = cv2.warpAffine(resized, np.asarray(trans_input),
                                    (inp_width, inp_height),
                                    flags=cv2.INTER_LINEAR)
-        inp_image = ((inp_image / 255.0 - self.mean) / self.std).astype(
-            np.float32)
+        if getattr(self.opt, "host_normalize", False):
+            inp_image = ((inp_image / 255.0 - self.mean)
+                         / self.std).astype(np.float32)
+        # else: ship uint8; the jitted program normalizes (eval_input)
         images = inp_image[None]  # NHWC
         if self.opt.flip_test:
             images = np.concatenate((images, images[:, :, ::-1, :]), axis=0)
@@ -211,6 +225,7 @@ class CtdetDetector(BaseDetector):
         k = opt.K
 
         def _process(variables, images, trans_inv, inv_scale=1.0):
+            images = eval_input(images, self.mean, self.std)
             out = model.apply(variables, images, train=False)
             outputs = out if isinstance(out, (list, tuple)) else [out]
             output = outputs[-1]
@@ -234,6 +249,7 @@ class CtdetDetector(BaseDetector):
             reference evaluates image-by-image). images: (B, H, W, 3) or,
             with flip_test, (2B, ...) laid out [originals; flipped];
             trans_inv: (B, 2, 3) per-image output->original affines."""
+            images = eval_input(images, self.mean, self.std)
             out = model.apply(variables, images, train=False)
             outputs = out if isinstance(out, (list, tuple)) else [out]
             output = outputs[-1]
@@ -339,6 +355,7 @@ class DddDetector(BaseDetector):
         k = opt.K
 
         def _process(variables, images):
+            images = eval_input(images, self.mean, self.std)
             out = model.apply(variables, images, train=False)
             outputs = out if isinstance(out, (list, tuple)) else [out]
             output = outputs[-1]
@@ -364,8 +381,9 @@ class DddDetector(BaseDetector):
         inp_image = cv2.warpAffine(image, np.asarray(trans_input),
                                    (inp_width, inp_height),
                                    flags=cv2.INTER_LINEAR)
-        inp_image = ((inp_image.astype(np.float32) / 255.0 - self.mean)
-                     / self.std).astype(np.float32)
+        if getattr(self.opt, "host_normalize", False):
+            inp_image = ((inp_image.astype(np.float32) / 255.0 - self.mean)
+                         / self.std).astype(np.float32)
         images = inp_image[None]
         calib = meta["calib"] if meta is not None and "calib" in meta \
             else self.calib
@@ -411,6 +429,7 @@ class MultiPoseDetector(BaseDetector):
         k = opt.K
 
         def _process(variables, images):
+            images = eval_input(images, self.mean, self.std)
             out = model.apply(variables, images, train=False)
             outputs = out if isinstance(out, (list, tuple)) else [out]
             output = outputs[-1]
@@ -478,6 +497,7 @@ class ExdetDetector(BaseDetector):
         aggr_weight = opt.aggr_weight
 
         def _process(variables, images):
+            images = eval_input(images, self.mean, self.std)
             out = model.apply(variables, images, train=False)
             outputs = out if isinstance(out, (list, tuple)) else [out]
             output = outputs[-1]

@@ -37,3 +37,25 @@ def test_run_configs_ae_subset():
     lines = out.strip().splitlines()
     assert len(lines) == 3
     assert "--num_epochs 2" in lines[0] and "--num_epochs 1" in lines[1]
+
+
+def test_demo_entry_point(tmp_path):
+    """demo.py activates the --demo flag (the reference parses it,
+    lib/opts.py:25, but has no consumer): images in, rendered box
+    visualizations out."""
+    import sys
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from synthetic import make_voc_dataset
+    make_voc_dataset(str(tmp_path), num_images=2, img_w=120, img_h=90)
+    sys.path.insert(0, REPO)
+    import demo
+    rc = demo.main(
+        ("ctdet --dataset pascal --arch shufflenetv2 --input_res 64 "
+         f"--demo {tmp_path}/voc/images --exp_id demotest_ci "
+         "--vis_thresh 0.0").split())
+    assert rc == 0
+    out_dir = os.path.join(REPO, "exp", "ctdet", "demotest_ci", "demo")
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["000001.png", "000002.png"]
+    import shutil
+    shutil.rmtree(os.path.join(REPO, "exp", "ctdet", "demotest_ci"))

@@ -45,8 +45,8 @@ def run(train_images=64, test_images=16, input_res=128, batch_size=16,
              "--num_epochs", str(num_epochs),
              "--lr", str(lr),
              "--lr_step", str(int(num_epochs * 0.8)),
-             "--no_color_aug",
-             "--num_workers", "4", "--val_intervals", "-1", "--seed",
+             "--no_color_aug", "--save_intervals", "100",
+             "--num_workers", "2", "--val_intervals", "-1", "--seed",
              str(seed)]
     test = [sys.executable, "test.py", *common, "--resume"]
     for cmd in (train, test):

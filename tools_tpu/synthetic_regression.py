@@ -46,7 +46,7 @@ def run(train_images=64, test_images=16, input_res=128, batch_size=16,
              "--lr", str(lr),
              "--lr_step", str(int(num_epochs * 0.8)),
              "--no_color_aug", "--save_intervals", "100",
-             "--num_workers", "2", "--val_intervals", "-1", "--seed",
+             "--num_workers", "1", "--val_intervals", "-1", "--seed",
              str(seed)]
     test = [sys.executable, "test.py", *common, "--resume"]
     for cmd in (train, test):
@@ -76,8 +76,10 @@ def run(train_images=64, test_images=16, input_res=128, batch_size=16,
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--min_ap", type=float, default=0.55,
-                    help="pinned lower band (TPU-calibrated)")
+    ap.add_argument("--min_ap", type=float, default=0.50,
+                    help="pinned lower band; v5e calibration measured "
+                         "present-class Mean AP 0.706 (8 classes, 64/16 "
+                         "held-out split, 1600 steps)")
     ap.add_argument("--train_images", type=int, default=64)
     ap.add_argument("--test_images", type=int, default=16)
     ap.add_argument("--input_res", type=int, default=128)

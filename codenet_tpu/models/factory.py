@@ -14,6 +14,16 @@ def _get_resnet(num_layers, heads, head_conv=64, **kw):
     return get_pose_net(num_layers, heads, head_conv, **kw)
 
 
+def _get_resdcn(num_layers, heads, head_conv=64, **kw):
+    from .resnet import get_pose_net_dcn
+    return get_pose_net_dcn(num_layers, heads, head_conv, **kw)
+
+
+def _get_dladcn(num_layers, heads, head_conv=256, **kw):
+    from .dla_dcn import get_pose_net
+    return get_pose_net(num_layers, heads, head_conv, **kw)
+
+
 def _get_dlav0(num_layers, heads, head_conv=256, **kw):
     from .dlav0 import get_pose_net
     return get_pose_net(num_layers, heads, head_conv, **kw)
@@ -26,6 +36,11 @@ def _get_hourglass(num_layers, heads, head_conv=64, **kw):
 
 MODEL_FACTORY = {
     "res": _get_resnet,
+    # resdcn / dla: the DCNv2-upsampling archs present in the reference
+    # tree (resnet_dcn.py, pose_dla_dcn.py) but commented out of its
+    # factory (model.py:12-13,20-21) — wired and working here
+    "resdcn": _get_resdcn,
+    "dla": _get_dladcn,
     "dlav0": _get_dlav0,
     "hourglass": _get_hourglass,
     "shufflenetv2": get_shufflenetv2_dcn,
@@ -42,13 +57,6 @@ def create_model(arch, heads, head_conv, w2=False, maxpool=False, qspec=None,
     """
     num_layers = int(arch[arch.find("_") + 1:]) if "_" in arch else 0
     arch_name = arch[:arch.find("_")] if "_" in arch else arch
-    if arch_name == "dla":
-        # The reference's default --arch dla_34 maps to pose_dla_dcn, which
-        # its own factory comments out (model.py:12-13,20-21); alias to the
-        # shipped DLA-v0 so the no-flag invocation works.
-        print("warning: arch 'dla' is not shipped (matches reference "
-              "model.py:12-13); using 'dlav0'")
-        arch_name = "dlav0"
     get_model = MODEL_FACTORY[arch_name]
     kwargs = dict(qspec=qspec, dtype=dtype)
     if arch_name == "shufflenetv2":

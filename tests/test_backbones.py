@@ -52,3 +52,35 @@ def test_dla_bilinear_up_matches_torch():
     got = depthwise_up(jnp.asarray(x_n), f, jnp.asarray(khw))
     got = np.transpose(np.asarray(got), (0, 3, 1, 2))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_dla_dcn_forward_and_grads():
+    """dla_34 (reference pose_dla_dcn.py, excluded from the reference's
+    own factory): DCNv2 IDA upsampling produces stride-4 heads and finite
+    gradients. Also the reference's DEFAULT --arch dla_34 now works."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from codenet_tpu.models import create_model
+
+    heads = {"hm": 3, "wh": 2, "reg": 2}
+    model = create_model("dla_34", heads, 256)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x, train=False)
+    assert out["hm"].shape == (1, 16, 16, 3)
+    assert out["wh"].shape == (1, 16, 16, 2)
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["head_hm_out"]["bias"]), -2.19,
+        rtol=1e-6)
+
+    def loss(p):
+        vs = {"params": p, **{k: v for k, v in variables.items()
+                              if k != "params"}}
+        out, _ = model.apply(vs, jnp.ones_like(x), train=True,
+                             mutable=["batch_stats"])
+        return sum(jnp.sum(v ** 2) for v in out.values())
+
+    g = jax.grad(loss)(variables["params"])
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))

@@ -32,3 +32,39 @@ def test_conv_transpose_matches_torch():
     got = conv_transpose_4x4_s2(jnp.asarray(x_n), jnp.asarray(w_hwio))
     got = np.transpose(np.asarray(got), (0, 3, 1, 2))
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_resdcn_forward_and_grads():
+    """resdcn_18 (reference resnet_dcn.py, excluded from the reference's
+    own factory): DCNv2 deconv stages produce stride-4 heads and finite
+    gradients; out-channel-0 of each up kernel carries the bilinear init
+    (fill_up_weights quirk)."""
+    import jax
+    import jax.numpy as jnp
+    from codenet_tpu.models import create_model
+
+    heads = {"hm": 4, "wh": 2, "reg": 2}
+    model = create_model("resdcn_18", heads, 64)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x, train=False)
+    assert out["hm"].shape == (1, 16, 16, 4)
+    assert out["wh"].shape == (1, 16, 16, 2)
+    # hm bias init -2.19
+    np.testing.assert_allclose(
+        np.asarray(variables["params"]["head_hm_out"]["bias"]), -2.19,
+        rtol=1e-6)
+    up0 = np.asarray(variables["params"]["deconv0_up"])
+    expect = np.outer([0.25, 0.75, 0.75, 0.25], [0.25, 0.75, 0.75, 0.25])
+    np.testing.assert_allclose(up0[:, :, 0, 0], expect, rtol=1e-6)
+
+    def loss(p):
+        vs = {"params": p, **{k: v for k, v in variables.items()
+                              if k != "params"}}
+        out, _ = model.apply(vs, jnp.ones_like(x), train=True,
+                             mutable=["batch_stats"])
+        return sum(jnp.sum(v ** 2) for v in out.values())
+
+    g = jax.grad(loss)(variables["params"])
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))

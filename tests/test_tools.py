@@ -59,3 +59,35 @@ def test_demo_entry_point(tmp_path):
     assert outs == ["000001.png", "000002.png"]
     import shutil
     shutil.rmtree(os.path.join(REPO, "exp", "ctdet", "demotest_ci"))
+
+
+def test_convert_hourglass_weight_renames():
+    """The ExtremeNet->CenterNet rename rules incl. the ct_heats guard
+    (reference tools/convert_hourglass_weight.py:10-26) and a torch
+    round-trip through the CLI."""
+    sys.path.insert(0, os.path.join(REPO, "tools_tpu"))
+    from convert_hourglass_weight import convert_state_dict
+
+    sd = {
+        "module.t_heats.0.weight": 1, "module.ct_heats.0.weight": 2,
+        "module.l_regrs.0.bias": 3, "module.pre.conv.weight": 4,
+    }
+    out = convert_state_dict(sd)
+    assert out == {
+        "module.hm_t.0.weight": 1, "module.hm_c.0.weight": 2,
+        "module.reg_l.0.bias": 3, "module.pre.conv.weight": 4,
+    }
+
+    import tempfile
+    import torch
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "in.pkl")
+        dst = os.path.join(d, "out.pth")
+        torch.save({k: torch.tensor(float(v)) for k, v in sd.items()}, src)
+        rc = subprocess.call(
+            [sys.executable, "tools_tpu/convert_hourglass_weight.py",
+             src, dst], cwd=REPO)
+        assert rc == 0
+        loaded = torch.load(dst, weights_only=False)
+        assert loaded["epoch"] == 0
+        assert set(loaded["state_dict"]) == set(out)

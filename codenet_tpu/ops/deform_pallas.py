@@ -93,6 +93,16 @@ def _axis_factors(s, p_axis, q_axis, want_grad):
     return R, dR
 
 
+def _row_select(w_ref, t):
+    """Row t of a small (9, C) VMEM ref as (1, C) f32, via a one-hot
+    reduction — Mosaic cannot prove alignment for a dynamic sublane index
+    (bf16 tiles pack 16 sublanes), and the array is tiny anyway."""
+    hot = (jax.lax.broadcasted_iota(jnp.int32, (9, 1), 0)
+           == t).astype(jnp.float32)
+    return jnp.sum(w_ref[...].astype(jnp.float32) * hot, axis=0,
+                   keepdims=True)
+
+
 def _grid_geometry(w_dim, tile, hw_pad):
     """Per-grid-step output positions and flattened q-axis indices."""
     j = pl.program_id(1)
@@ -141,10 +151,10 @@ def _fwd_kernel(x_ref, s_ref, w_ref, o_ref, *, h, w_dim, tile, img_block,
                 RY, _ = _axis_factor_traced(s, py, qy, ai)
                 RX, _ = _axis_factor_traced(s, px, qx, aj)
                 B = RY * RX
-                tap_w = w_ref[pl.ds(t, 1), :]  # (1, C)
+                tap_w = _row_select(w_ref, t)  # (1, C)
                 return acc + jnp.dot(B.astype(x.dtype), x,
                                      preferred_element_type=jnp.float32) \
-                    * tap_w.astype(jnp.float32)
+                    * tap_w
 
             acc = jax.lax.fori_loop(0, len(_TAPS), tap_body,
                                     jnp.zeros((tile, c), jnp.float32))
@@ -203,8 +213,8 @@ def _bwd_kernel(x_ref, s_ref, g_ref, w_ref, dx_ref, ds_ref, dw_ref, *,
             RX, dRX = _axis_factor_traced(s, px, qx, aj)
             B = RY * RX
             D = dRY * RX + RY * dRX
-            tap_w = w_ref[pl.ds(t, 1), :]      # (1, C) dynamic row
-            gw = g * tap_w.astype(jnp.float32)  # (tile, C)
+            tap_w = _row_select(w_ref, t)      # (1, C)
+            gw = g * tap_w                     # (tile, C)
             Bx = jnp.dot(B.astype(x.dtype), x,
                          preferred_element_type=jnp.float32)  # sampled
             Dx = jnp.dot(D.astype(x.dtype), x,
@@ -347,12 +357,15 @@ def _bwd_op(h, w_dim, tile, img_block):
     return op
 
 
-def _plan(x, img_block, vmem_cap_bytes, tile_budget_bytes=None):
+def _plan(x, img_block, vmem_cap_bytes, tile_budget_bytes=None,
+          assume_f32=False):
     """Shared shape/tiling plan: flatten HW, pad to the 128 tile, cap the
     per-step image block by VMEM footprint. `tile_budget_bytes` bounds one
     (tile, HWpad) f32 matrix — the scoped-VMEM unit the kernels multiply —
     shrinking the row tile on large maps (the backward keeps ~7 such
-    matrices live per tap iteration)."""
+    matrices live per tap iteration). assume_f32 sizes the image block as
+    if inputs were f32: on rolled large maps the f32 interpolation
+    temporaries dominate, so a bf16 input must not double img_block."""
     n, h, w_dim, c = x.shape
     hw = h * w_dim
     tile = min(hw, 128)
@@ -360,7 +373,8 @@ def _plan(x, img_block, vmem_cap_bytes, tile_budget_bytes=None):
     if tile_budget_bytes is not None:
         while tile > 16 and tile * hw_pad * 4 > tile_budget_bytes:
             tile //= 2
-    bytes_per_img = hw_pad * c * x.dtype.itemsize
+    itemsize = 4 if assume_f32 else x.dtype.itemsize
+    bytes_per_img = hw_pad * c * itemsize
     while img_block > 1 and img_block * bytes_per_img > vmem_cap_bytes:
         img_block //= 2
     while n % img_block != 0:
@@ -403,6 +417,14 @@ def _fwd_pallas_call(x_flat, s_flat, w_kc, *, h, w_dim, tile, img_block):
 def _forward_pallas(x, s, weight_kc, img_block=8):
     n, h, w_dim, c, hw, hw_pad, tile, img_block = _plan(
         x, img_block, 2 * 1024 * 1024)
+    if hw_pad > 1024:
+        # rolled-loop regime: f32 factor/B temporaries dominate scoped
+        # VMEM; replan with an f32-basis image block and a 1 MB tile
+        # budget (verified on v5e: bf16 batch-32 64x64x128 OOM'd at
+        # img_block 2 / tile 128)
+        n, h, w_dim, c, hw, hw_pad, tile, img_block = _plan(
+            x, img_block, 1024 * 1024, tile_budget_bytes=2 * 1024 * 1024,
+            assume_f32=True)
     x_flat = _pad_rows(x.reshape(n, hw, c), hw, hw_pad)
     s_flat = _pad_rows(s.astype(jnp.float32).reshape(n, hw, 1), hw, hw_pad)
     out = _fwd_op(h, w_dim, tile, img_block)(x_flat, s_flat, weight_kc)
@@ -447,7 +469,8 @@ def _bwd_pallas_call(x_flat, s_flat, g_flat, w_kc, *, h, w_dim, tile,
 
 def _backward_pallas(x, s, weight_kc, g, img_block=8):
     n, h, w_dim, c, hw, hw_pad, tile, img_block = _plan(
-        x, img_block, 1024 * 1024, tile_budget_bytes=512 * 1024)
+        x, img_block, 1024 * 1024, tile_budget_bytes=512 * 1024,
+        assume_f32=True)
     x_flat = _pad_rows(x.reshape(n, hw, c), hw, hw_pad)
     s_flat = _pad_rows(s.astype(jnp.float32).reshape(n, hw, 1), hw, hw_pad)
     g_flat = _pad_rows(g.reshape(n, hw, c), hw, hw_pad)

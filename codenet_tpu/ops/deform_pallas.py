@@ -59,7 +59,12 @@ def _interpret():
 def use_fast_path():
     """Model-integration routing: real kernels on TPU; CPU keeps the XLA
     formulation unless CODENET_PALLAS_INTERPRET=1 forces interpret mode
-    (integration tests)."""
+    (integration tests). CODENET_FORCE_XLA_DEFORM=1 disables the kernels
+    outright — needed when the default backend is a TPU but the program
+    targets a CPU mesh (the driver's virtual-device dryrun initializes
+    the TPU plugin before falling back to host devices)."""
+    if os.environ.get("CODENET_FORCE_XLA_DEFORM", "") == "1":
+        return False
     return (jax.default_backend() == "tpu"
             or os.environ.get("CODENET_PALLAS_INTERPRET", "") == "1")
 

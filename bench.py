@@ -73,16 +73,21 @@ def bench_infer(input_res=256, batches=(64, 128, 256), iters=100, warm=30,
     return best, best_bs
 
 
-def bench_train(input_res=256, batch=64, iters=50, warm=10):
-    """Full jitted train step (fwd + Pallas bwd + Adam) img/s, f32."""
+def bench_train(input_res=256, batch=128, iters=50, warm=10,
+                dtype="float32", with_mfu=False):
+    """Full jitted train step (fwd + Pallas bwd + Adam) img/s.
+
+    with_mfu also returns the XLA-cost-analysis FLOPs of the step so the
+    caller can report model FLOPs utilization (VERDICT r2 next-#3)."""
     import jax.numpy as jnp
     import numpy as np
     from codenet_tpu import config as cfg
     from codenet_tpu.engine.trainer import Trainer
 
+    extra = " --dtype bfloat16" if dtype == "bfloat16" else ""
     opt = cfg.parse(
         ("ctdet --dataset pascal --arch shufflenetv2 "
-         f"--input_res {input_res} --batch_size {batch}").split())
+         f"--input_res {input_res} --batch_size {batch}" + extra).split())
     opt = cfg.update_dataset_info_and_set_heads(
         opt, cfg.DATASET_SPECS["pascal"])
     trainer = Trainer(opt)
@@ -110,7 +115,59 @@ def bench_train(input_res=256, batch=64, iters=50, warm=10):
         return stats["loss"]
 
     dt = _time_loop(step, iters, warm)
-    return batch * iters / dt
+    ips = batch * iters / dt
+    if not with_mfu:
+        return ips
+    # step FLOPs from XLA's own cost analysis of the compiled program
+    flops = None
+    try:
+        lowered = trainer.train_step.lower(
+            trainer.variables, trainer.opt_state, batch_dev)
+        analysis = lowered.compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", 0.0)) or None
+    except Exception as e:
+        _note(f"[bench] cost analysis unavailable: {e}")
+    return ips, flops
+
+
+def bench_e2e(n_images=256, batch=64, input_res=256, device_warp=True,
+              img_w=500, img_h=375):
+    """End-to-end (host-inclusive) eval throughput: disk read + (host or
+    device) warp + transfer + fused net/decode, via the real --batch_eval
+    driver on a synthetic VOC-sized dataset (VERDICT r2 weak-#8: the
+    device-only numbers hid the input pipeline)."""
+    import os
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from synthetic import make_voc_dataset
+    from codenet_tpu import config as cfg
+    from codenet_tpu.cli.test import batched_test
+
+    root = tempfile.mkdtemp(prefix="benche2e_")
+    make_voc_dataset(root, num_images=4, img_w=img_w, img_h=img_h,
+                     test_images=n_images)
+
+    def run_once(exp_id):
+        args = (f"ctdet --dataset pascal --arch shufflenetv2 "
+                f"--input_res {input_res} --batch_eval {batch} "
+                f"--num_workers 8 --exp_id {exp_id}"
+                + (" --device_warp" if device_warp else "")).split()
+        opt = cfg.parse(args)
+        opt.data_dir = root
+        t0 = time.perf_counter()
+        batched_test(opt)
+        return n_images / (time.perf_counter() - t0)
+
+    run_once("bench_e2e_warm")      # compile + cache warm
+    ips = run_once("bench_e2e")     # steady state
+    import shutil
+    shutil.rmtree(root, ignore_errors=True)
+    return ips
 
 
 def _note(msg):
@@ -129,6 +186,17 @@ def main():
           f"t={time.time() - t0:.0f}s")
 
     extra = {}
+
+    def train_bf16_mfu():
+        out = bench_train(dtype="bfloat16", batch=128, with_mfu=True)
+        ips, flops = out if isinstance(out, tuple) else (out, None)
+        if flops:
+            # v5e bf16 peak 197 TFLOP/s; flops is per step (batch 128)
+            mfu = ips / 128.0 * flops / 197e12
+            extra["train_mfu_pct"] = round(mfu * 100, 2)
+            extra["train_step_gflops"] = round(flops / 1e9, 1)
+        return ips
+
     entries = {
         "ctdet_infer_f32_256": lambda: bench_infer(
             dtype="float32", batches=(128,))[0],
@@ -136,7 +204,11 @@ def main():
             dtype="float32", batches=(128,), int8=True)[0],
         "ctdet_infer_bf16_512_w2": lambda: bench_infer(
             input_res=512, batches=(32,), w2=True, iters=50)[0],
-        "ctdet_train_f32_256": bench_train,
+        "ctdet_train_bf16_256": train_bf16_mfu,
+        "ctdet_train_f32_256": lambda: bench_train(dtype="float32",
+                                                   batch=128),
+        "ctdet_e2e_devwarp_256": lambda: bench_e2e(device_warp=True),
+        "ctdet_e2e_hostwarp_256": lambda: bench_e2e(device_warp=False),
     }
     for name, fn in entries.items():
         if only and only not in name:

@@ -39,11 +39,19 @@ def run_training(opt, qspec=None, load_fp32_then_quantize=False):
             trainer.set_lr(lr)
             print("Resumed optimizer with start lr", lr)
 
+    val_loader = DataLoader(Dataset(opt, "val"), 1, shuffle=False,
+                            num_workers=1)
+    if getattr(opt, "test", False):
+        # val-only: decode predictions and score them (reference
+        # main.py:51-54)
+        _, preds = trainer.val(0, val_loader)
+        os.makedirs(opt.save_dir, exist_ok=True)
+        val_loader.dataset.run_eval(preds, opt.save_dir)
+        return trainer
+
     train_loader = DataLoader(Dataset(opt, "train"), opt.batch_size,
                               shuffle=True, num_workers=opt.num_workers,
                               seed=opt.seed)
-    val_loader = DataLoader(Dataset(opt, "val"), 1, shuffle=False,
-                            num_workers=1)
 
     best = 1e10
     save_dir = opt.save_dir
@@ -61,7 +69,7 @@ def run_training(opt, qspec=None, load_fp32_then_quantize=False):
             checkpoint.save_model(
                 os.path.join(save_dir, "model_{}.ckpt".format(mark)),
                 epoch, trainer.variables, trainer.opt_state)
-            val_dict = trainer.val(epoch, val_loader)
+            val_dict, _ = trainer.val(epoch, val_loader)
             for k, v in val_dict.items():
                 logger.scalar_summary("val_{}".format(k), v, epoch)
                 logger.write("{} {:8f} | ".format(k, v))

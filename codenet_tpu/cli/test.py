@@ -154,52 +154,93 @@ def batched_test(opt):
     detector = detector_factory(opt.task)(opt)
     bs = opt.batch_eval
 
+    device_warp = getattr(opt, "device_warp", False)
+
     def load_one(ind):
         img_id = dataset.images[ind]
         img_info = dataset.coco.loadImgs(ids=[img_id])[0]
         img_path = os.path.join(dataset.img_dir, img_info["file_name"])
         image = cv2.imread(img_path)
+        if device_warp:
+            pr = detector.pre_process_raw(image)
+            if pr is not None:  # fits the static raw buffer
+                return ("raw", img_id) + pr
         images, meta = detector.pre_process(image, 1.0)
-        return img_id, images, meta
+        return ("host", img_id, images, meta)
 
     results = {}
     n = len(dataset)
-    with ThreadPoolExecutor(max_workers=max(1, opt.num_workers)) as pool:
-        loaded = pool.map(load_one, range(n), chunksize=4)
-        chunk = []
+    workers = max(1, opt.num_workers)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        # Bounded sliding window (ADVICE r2): pool.map would submit all n
+        # loads up front with no backpressure — if the device program is
+        # slower than host preprocessing, completed f32 images pile up
+        # unboundedly (GBs on a COCO-scale flip-test eval). Keep at most
+        # workers + 2*bs outstanding and submit as results are consumed.
+        window = workers + 2 * bs
+
+        def loaded_iter():
+            from collections import deque
+            pending = deque(pool.submit(load_one, i)
+                            for i in range(min(window, n)))
+            nxt = len(pending)
+            while pending:
+                item = pending.popleft().result()
+                if nxt < n:
+                    pending.append(pool.submit(load_one, nxt))
+                    nxt += 1
+                yield item
+
+        loaded = loaded_iter()
+        chunks = {"host": [], "raw": []}
         done = 0
 
-        def run_chunk(chunk):
-            ids = [c[0] for c in chunk]
+        def run_chunk_host(chunk):
+            ids = [c[1] for c in chunk]
             # pad to the static batch size with the last sample
             padded = chunk + [chunk[-1]] * (bs - len(chunk))
-            per_img = [c[1] for c in padded]  # each (1 or 2, H, W, 3)
+            per_img = [c[2] for c in padded]  # each (1 or 2, H, W, 3)
             if opt.flip_test:
                 stack = np.concatenate(
                     [p[0:1] for p in per_img] + [p[1:2] for p in per_img],
                     axis=0)
             else:
                 stack = np.concatenate(per_img, axis=0)
-            tis = np.stack([c[2]["trans_inv"] for c in padded], axis=0)
+            tis = np.stack([c[3]["trans_inv"] for c in padded], axis=0)
             dets = np.asarray(detector.process_batch(stack, tis))
             for i, img_id in enumerate(ids):
                 per = detector.post_process(dets[i], None)
                 results[img_id] = detector.merge_outputs([per])
 
+        def run_chunk_raw(chunk):
+            ids = [c[1] for c in chunk]
+            padded = chunk + [chunk[-1]] * (bs - len(chunk))
+            raw = np.stack([c[2] for c in padded], axis=0)
+            wtis = np.stack([c[3] for c in padded], axis=0)
+            tis = np.stack([c[4] for c in padded], axis=0)
+            dets = np.asarray(detector.process_batch_raw(raw, wtis, tis))
+            for i, img_id in enumerate(ids):
+                per = detector.post_process(dets[i], None)
+                results[img_id] = detector.merge_outputs([per])
+
+        runners = {"host": run_chunk_host, "raw": run_chunk_raw}
+
         import time as _time
         t0 = _time.time()
         for item in loaded:
-            chunk.append(item)
-            if len(chunk) == bs:
-                run_chunk(chunk)
-                done += len(chunk)
-                chunk = []
+            kind = item[0]
+            chunks[kind].append(item)
+            if len(chunks[kind]) == bs:
+                runners[kind](chunks[kind])
+                done += bs
+                chunks[kind] = []
                 if done % (bs * 10) == 0:
                     print("[{}/{}] {:.1f} img/s".format(
                         done, n, done / (_time.time() - t0)))
-        if chunk:
-            run_chunk(chunk)
-            done += len(chunk)
+        for kind, chunk in chunks.items():
+            if chunk:
+                runners[kind](chunk)
+                done += len(chunk)
         print("batched eval: {} images in {:.1f}s".format(
             done, _time.time() - t0))
     os.makedirs(opt.save_dir, exist_ok=True)

@@ -121,6 +121,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_eval", type=int, default=0,
                    help="batch N images per fused eval program (ctdet, "
                         "single scale, fixed res); 0 = reference behavior")
+    # TPU extension: with --batch_eval, ship the RAW uint8 image and run
+    # the affine letterbox warp itself on device (warp + normalize + net
+    # + decode + backproject in ONE jitted program; the cv2 host warp —
+    # reference base_detector.py:48-76 — disappears from the pipeline)
+    p.add_argument("--device_warp", action="store_true",
+                   help="with --batch_eval: run the letterbox warp on "
+                        "device instead of cv2 on host")
+    p.add_argument("--device_warp_max_res", type=int, default=768,
+                   help="static raw-image buffer size for --device_warp; "
+                        "larger images fall back to host warp")
     # TPU extension: ship uint8 inputs and run color-aug + normalization
     # inside the jitted step (4x less host->device traffic). Set
     # --host_normalize for the reference's host-side numpy path.

@@ -1,0 +1,160 @@
+"""On-device input preprocessing: uint8 -> color aug -> normalize.
+
+TPU-native redesign of the host tail of the samplers (reference
+lib/utils/image.py:196-234 color_aug + the /255, -mean/std normalize):
+the host ships the cv2-warped uint8 image (4x less host->device traffic
+than f32 — the dominant cost of a train step when the host link is thin)
+plus 7 floats of per-sample augmentation state; brightness/contrast/
+saturation/PCA-lighting and normalization run inside the jitted step.
+
+Math parity: identical formulas, identical random stream (the host draws
+the shuffle + alphas in the reference's exact order —
+`draw_color_aug_params`), computed in f32 on device instead of numpy.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# canonical order of the 3 ops; a permutation index selects execution order
+_FUNC_IDS = {"brightness": 0, "contrast": 1, "saturation": 2}
+PERMS = list(itertools.permutations((0, 1, 2)))
+_PERM_INDEX = {p: i for i, p in enumerate(PERMS)}
+
+# cv2 BGR2GRAY weights (image channels are BGR, reference reads via
+# cv2.imread)
+_BGR_GRAY = (0.114, 0.587, 0.299)
+
+
+def draw_color_aug_params(data_rng, eig_val, eig_vec, py_random=None):
+    """Draw the reference color_aug's random state (image_aug.py:51-59):
+    python-random shuffle of [brightness, contrast, saturation], one
+    uniform(-0.4, 0.4) per op in execution order, then the PCA lighting
+    normal(0.1, 3). Returns (perm_index, alphas_by_func_id[3],
+    lighting_add[3]).
+
+    py_random=None uses the reference's global python-random shuffle;
+    passing a numpy RandomState keeps the whole draw on one explicit
+    stream (thread-deterministic loader mode)."""
+    order = [0, 1, 2]
+    if py_random is None:
+        random.shuffle(order)
+    else:
+        py_random.shuffle(order)
+    alphas = np.zeros(3, np.float32)
+    for fid in order:
+        alphas[fid] = data_rng.uniform(low=-0.4, high=0.4)
+    light = data_rng.normal(scale=0.1, size=(3,))
+    light_add = np.dot(eig_vec, eig_val * light).astype(np.float32)
+    return _PERM_INDEX[tuple(order)], alphas, light_add
+
+
+def identity_aug_params():
+    """Zero alphas make every op multiplicative-identity."""
+    return 0, np.zeros(3, np.float32), np.zeros(3, np.float32)
+
+
+def device_preprocess(inp_u8, perm, alphas, light_add, mean, std):
+    """Apply color aug + normalize on device.
+
+    inp_u8: (B, H, W, 3) uint8 BGR; perm: (B,) int32 in [0, 6);
+    alphas: (B, 3) f32 by func id; light_add: (B, 3) f32;
+    mean/std: (3,) f32. Returns (B, H, W, 3) f32.
+    """
+    gray_w = jnp.asarray(_BGR_GRAY, jnp.float32)
+    mean = jnp.asarray(mean, jnp.float32).reshape(3)
+    std = jnp.asarray(std, jnp.float32).reshape(3)
+
+    def one(img_u8, p, a, light):
+        img = img_u8.astype(jnp.float32) / 255.0
+        gs = img @ gray_w                       # (H, W)
+        gs_mean = jnp.mean(gs)
+
+        def brightness(im):
+            return im * (1.0 + a[0])
+
+        def contrast(im):
+            alpha = 1.0 + a[1]
+            return im * alpha + (1.0 - alpha) * gs_mean
+
+        def saturation(im):
+            alpha = 1.0 + a[2]
+            return im * alpha + (1.0 - alpha) * gs[..., None]
+
+        funcs = (brightness, contrast, saturation)
+
+        def make_branch(order):
+            def apply(im):
+                for fid in order:
+                    im = funcs[fid](im)
+                return im
+            return apply
+
+        img = jax.lax.switch(p, [make_branch(o) for o in PERMS], img)
+        img = img + light[None, None, :]
+        return (img - mean) / std
+
+    return jax.vmap(one)(inp_u8, perm, alphas, light_add)
+
+
+def model_input(batch, mean, std):
+    """Resolve the model input from a batch: device path (input_u8 + aug
+    state) or the legacy host-normalized f32 'input'."""
+    if "input_u8" in batch:
+        return device_preprocess(batch["input_u8"], batch["aug_perm"],
+                                 batch["aug_alphas"], batch["aug_light"],
+                                 mean, std)
+    return batch["input"]
+
+
+def render_umich_hm(ct, radius, cls, mask, out_h, out_w, num_classes):
+    """Render the ctdet focal-loss heatmap on device from the sparse
+    object list (reference draw_umich_gaussian, lib/utils/image.py:122-137
+    — here the gaussian is separable: exp(-(dx^2+dy^2)/2s^2) =
+    exp(-dy^2/2s^2) * exp(-dx^2/2s^2), so each object costs O(H + W) VPU
+    work plus an outer product, and objects combine by max-splat).
+
+    ct: (B, M, 2) int32 centers (x, y); radius: (B, M) int32;
+    cls: (B, M) int32; mask: (B, M) object validity.
+    Returns (B, out_h, out_w, num_classes) f32.
+    """
+    ctf = ct.astype(jnp.float32)
+    r = radius.astype(jnp.float32)[..., None]          # (B, M, 1)
+    sigma = (2.0 * r + 1.0) / 6.0
+    denom = 2.0 * sigma * sigma
+    ys = jnp.arange(out_h, dtype=jnp.float32)
+    xs = jnp.arange(out_w, dtype=jnp.float32)
+    dy = ys[None, None, :] - ctf[..., 1:2]             # (B, M, H)
+    dx = xs[None, None, :] - ctf[..., 0:1]             # (B, M, W)
+    gy = jnp.exp(-dy * dy / denom) * (jnp.abs(dy) <= r)
+    gx = jnp.exp(-dx * dx / denom) * (jnp.abs(dx) <= r)
+    # Per-class max over that class's objects — WITHOUT materializing the
+    # (B, M, H, W) product: the class/validity selector folds into the tiny
+    # (B, M, H) row factor, and each per-class outer-product+max compiles
+    # to one multiply-reduce fusion over (B, M, H) x (B, M, W) inputs
+    # (~100 MB total HBM traffic at 64-batch/64^2/20-class vs ~2.8 GB for
+    # a shared (B, M, H, W) intermediate read once per class).
+    gy = gy * mask.astype(jnp.float32)[..., None]      # (B, M, H)
+    chans = []
+    for c in range(num_classes):
+        gyc = gy * (cls == c).astype(jnp.float32)[..., None]
+        chans.append(jnp.max(gyc[..., :, None] * gx[..., None, :],
+                             axis=1))                  # (B, H, W)
+    return jnp.stack(chans, axis=-1)
+
+
+def resolve_targets(batch, inp, down_ratio, num_classes):
+    """Materialize dense targets shipped in sparse device form."""
+    if "hm_ct" not in batch:
+        return batch
+    out_h = inp.shape[1] // down_ratio
+    out_w = inp.shape[2] // down_ratio
+    hm = render_umich_hm(batch["hm_ct"], batch["hm_radius"],
+                         batch["hm_cls"], batch["reg_mask"],
+                         out_h, out_w, num_classes)
+    return dict(batch, hm=hm)

@@ -8,11 +8,13 @@ prefetches ahead of the device. Batch order is deterministic regardless of
 worker count: workers pull batch indices from a shared queue and publish
 results into per-batch slots that the consumer drains in order.
 
-Determinism caveat (shared with the reference's torch DataLoader +
-in-sampler np.random): with num_workers > 1 the samplers draw from shared
-RNG streams, so augmentation draws depend on thread timing. Use
-num_workers=1 where bit-reproducibility matters (e.g. the pinned
-accuracy-regression test).
+Determinism: each batch gets its own np.random.RandomState seeded from
+(loader seed, epoch, batch index), passed into `get_sample` — augmentation
+draws are independent of worker-thread scheduling at any worker count
+(the reference's torch DataLoader got this from forked per-worker RNGs;
+its single-process path had the same shared-stream caveat this replaces).
+`deterministic=False` restores the legacy shared global np.random stream
+(bit-exact with the reference's single-worker draws).
 """
 
 from __future__ import annotations
@@ -36,15 +38,18 @@ def _stack_samples(samples):
 
 class DataLoader:
     def __init__(self, dataset, batch_size, shuffle=False, num_workers=4,
-                 drop_last=None, seed=0, prefetch=3):
+                 drop_last=None, seed=0, prefetch=3, deterministic=True):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = max(1, num_workers)
         # static shapes: always drop ragged last batch when training
         self.drop_last = shuffle if drop_last is None else drop_last
+        self.seed = seed
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
+        self.deterministic = deterministic
+        self._epoch = 0
 
     def __len__(self):
         n = len(self.dataset)
@@ -76,6 +81,18 @@ class DataLoader:
             todo.put(b)
         next_admit = min(max_inflight, len(batches))
 
+        epoch = self._epoch
+        self._epoch += 1
+        # per-batch RNG only for samplers that accept it (task samplers do;
+        # toy/prefetch datasets with no augmentation draws need not)
+        import inspect
+        try:
+            takes_rng = "rng" in inspect.signature(
+                self.dataset.get_sample).parameters
+        except (TypeError, ValueError):  # pragma: no cover
+            takes_rng = False
+        deterministic = self.deterministic and takes_rng
+
         def worker():
             while not stop.is_set():
                 try:
@@ -85,8 +102,17 @@ class DataLoader:
                 if b is None:
                     break
                 try:
-                    samples = [self.dataset.get_sample(j)
-                               for j in batches[b]]
+                    if deterministic:
+                        # per-batch stream keyed by (seed, epoch, batch):
+                        # draws don't depend on which thread runs when
+                        bseed = (self.seed * 1000003 + epoch * 8191 + b) \
+                            % (2 ** 31)
+                        brng = np.random.RandomState(bseed)
+                        samples = [self.dataset.get_sample(j, rng=brng)
+                                   for j in batches[b]]
+                    else:
+                        samples = [self.dataset.get_sample(j)
+                                   for j in batches[b]]
                     result = _stack_samples(samples)
                 except Exception as e:  # surface to the consumer
                     result = e

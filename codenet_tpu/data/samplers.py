@@ -25,22 +25,29 @@ from .image_aug import color_aug
 from .device_aug import draw_color_aug_params, identity_aug_params
 
 
-def finish_input(sampler, inp_u8, is_train):
+def finish_input(sampler, inp_u8, is_train, rng=None):
     """Shared input tail: either the reference's host path (/255 ->
     color_aug -> normalize, f32 'input') or device mode ('input_u8' +
     7 floats of aug state; the jitted step runs device_aug.device_
-    preprocess) — 4x less host->device traffic."""
+    preprocess) — 4x less host->device traffic.
+
+    rng=None keeps the reference's shared `_data_rng` stream (exact
+    parity, single-worker reproducible); an explicit rng makes the draws
+    independent of worker-thread scheduling (loader passes a per-batch
+    stream)."""
     opt = sampler.opt
+    data_rng = rng if rng is not None else sampler._data_rng
     if getattr(opt, "host_normalize", False):
         inp = inp_u8.astype(np.float32) / 255.0
         if is_train and not opt.no_color_aug:
-            color_aug(sampler._data_rng, inp, sampler._eig_val,
+            color_aug(data_rng, inp, sampler._eig_val,
                       sampler._eig_vec)
         inp = (inp - sampler.mean) / sampler.std
         return {"input": inp.astype(np.float32)}
     if is_train and not opt.no_color_aug:
         perm, alphas, light = draw_color_aug_params(
-            sampler._data_rng, sampler._eig_val, sampler._eig_vec)
+            data_rng, sampler._eig_val, sampler._eig_vec,
+            py_random=None if rng is None else rng)
     else:
         perm, alphas, light = identity_aug_params()
     return {"input_u8": np.ascontiguousarray(inp_u8),
@@ -73,7 +80,9 @@ class CTDetSampler:
         img = cv2.imread(img_path)
         return img_id, img, anns
 
-    def get_sample(self, index):
+    def get_sample(self, index, rng=None):
+        explicit_rng = rng
+        rng = rng if rng is not None else np.random
         img_id, img, anns = self._load_image_anns(index)
         num_objs = min(len(anns), self.max_objs)
 
@@ -90,18 +99,18 @@ class CTDetSampler:
         flipped = False
         if self.split == "train":
             if not self.opt.not_rand_crop:
-                s = s * np.random.choice(np.arange(0.6, 1.4, 0.1))
+                s = s * rng.choice(np.arange(0.6, 1.4, 0.1))
                 w_border = get_border(128, width)
                 h_border = get_border(128, height)
-                c[0] = np.random.randint(low=w_border, high=width - w_border)
-                c[1] = np.random.randint(low=h_border, high=height - h_border)
+                c[0] = rng.randint(low=w_border, high=width - w_border)
+                c[1] = rng.randint(low=h_border, high=height - h_border)
             else:
                 sf = self.opt.scale
                 cf = self.opt.shift
-                c[0] += s * np.clip(np.random.randn() * cf, -2 * cf, 2 * cf)
-                c[1] += s * np.clip(np.random.randn() * cf, -2 * cf, 2 * cf)
-                s = s * np.clip(np.random.randn() * sf + 1, 1 - sf, 1 + sf)
-            if np.random.random() < self.opt.flip:
+                c[0] += s * np.clip(rng.randn() * cf, -2 * cf, 2 * cf)
+                c[1] += s * np.clip(rng.randn() * cf, -2 * cf, 2 * cf)
+                s = s * np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf)
+            if rng.random() < self.opt.flip:
                 flipped = True
                 img = img[:, ::-1, :]
                 c[0] = width - c[0] - 1
@@ -109,7 +118,8 @@ class CTDetSampler:
         trans_input = get_affine_transform(c, s, 0, [input_w, input_h])
         inp_u8 = cv2.warpAffine(img, np.asarray(trans_input),
                                 (input_w, input_h), flags=cv2.INTER_LINEAR)
-        input_fields = finish_input(self, inp_u8, self.split == "train")
+        input_fields = finish_input(self, inp_u8, self.split == "train",
+                                     rng=explicit_rng)
 
         output_h = input_h // self.opt.down_ratio
         output_w = input_w // self.opt.down_ratio
@@ -232,7 +242,9 @@ class DddSampler:
             ret[6], ret[7] = np.sin(r), np.cos(r)
         return ret
 
-    def get_sample(self, index):
+    def get_sample(self, index, rng=None):
+        explicit_rng = rng
+        rng = rng if rng is not None else np.random
         img_id = self.images[index]
         img_info = self.coco.loadImgs(ids=[img_id])[0]
         img_path = os.path.join(self.img_dir, img_info["file_name"])
@@ -249,12 +261,12 @@ class DddSampler:
             s = np.array([width, height], dtype=np.int32)
 
         aug = False
-        if self.split == "train" and np.random.random() < self.opt.aug_ddd:
+        if self.split == "train" and rng.random() < self.opt.aug_ddd:
             aug = True
             sf, cf = self.opt.scale, self.opt.shift
-            s = s * np.clip(np.random.randn() * sf + 1, 1 - sf, 1 + sf)
-            c[0] += width * np.clip(np.random.randn() * cf, -2 * cf, 2 * cf)
-            c[1] += height * np.clip(np.random.randn() * cf, -2 * cf, 2 * cf)
+            s = s * np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf)
+            c[0] += width * np.clip(rng.randn() * cf, -2 * cf, 2 * cf)
+            c[1] += height * np.clip(rng.randn() * cf, -2 * cf, 2 * cf)
 
         trans_input = get_affine_transform(
             c, s, 0, [self.opt.input_w, self.opt.input_h])
@@ -263,7 +275,7 @@ class DddSampler:
                              flags=cv2.INTER_LINEAR)
         # reference ddd sampler has no color aug: device mode ships uint8
         # with identity aug params (normalize-only on device)
-        input_fields = finish_input(self, inp, is_train=False)
+        input_fields = finish_input(self, inp, is_train=False, rng=explicit_rng)
 
         num_classes = self.opt.num_classes
         out_w, out_h = self.opt.output_w, self.opt.output_h
@@ -360,7 +372,9 @@ class DddSampler:
 class MultiPoseSampler:
     """COCO keypoint targets (reference sample/multi_pose.py:30-184)."""
 
-    def get_sample(self, index):
+    def get_sample(self, index, rng=None):
+        explicit_rng = rng
+        rng = rng if rng is not None else np.random
         img_id = self.images[index]
         file_name = self.coco.loadImgs(ids=[img_id])[0]["file_name"]
         img_path = os.path.join(self.img_dir, file_name)
@@ -376,21 +390,21 @@ class MultiPoseSampler:
         flipped = False
         if self.split == "train":
             if not self.opt.not_rand_crop:
-                s = s * np.random.choice(np.arange(0.6, 1.4, 0.1))
+                s = s * rng.choice(np.arange(0.6, 1.4, 0.1))
                 w_border = get_border(128, width)
                 h_border = get_border(128, height)
-                c[0] = np.random.randint(low=w_border, high=width - w_border)
-                c[1] = np.random.randint(low=h_border,
+                c[0] = rng.randint(low=w_border, high=width - w_border)
+                c[1] = rng.randint(low=h_border,
                                          high=height - h_border)
             else:
                 sf, cf = self.opt.scale, self.opt.shift
-                c[0] += s * np.clip(np.random.randn() * cf, -2 * cf, 2 * cf)
-                c[1] += s * np.clip(np.random.randn() * cf, -2 * cf, 2 * cf)
-                s = s * np.clip(np.random.randn() * sf + 1, 1 - sf, 1 + sf)
-            if np.random.random() < self.opt.aug_rot:
+                c[0] += s * np.clip(rng.randn() * cf, -2 * cf, 2 * cf)
+                c[1] += s * np.clip(rng.randn() * cf, -2 * cf, 2 * cf)
+                s = s * np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf)
+            if rng.random() < self.opt.aug_rot:
                 rf = self.opt.rotate
-                rot = np.clip(np.random.randn() * rf, -rf * 2, rf * 2)
-            if np.random.random() < self.opt.flip:
+                rot = np.clip(rng.randn() * rf, -rf * 2, rf * 2)
+            if rng.random() < self.opt.flip:
                 flipped = True
                 img = img[:, ::-1, :]
                 c[0] = width - c[0] - 1
@@ -399,7 +413,8 @@ class MultiPoseSampler:
         trans_input = get_affine_transform(c, s, rot, [input_res, input_res])
         inp = cv2.warpAffine(img, np.asarray(trans_input),
                              (input_res, input_res), flags=cv2.INTER_LINEAR)
-        input_fields = finish_input(self, inp, self.split == "train")
+        input_fields = finish_input(self, inp, self.split == "train",
+                                     rng=explicit_rng)
 
         output_res = self.opt.output_res
         num_joints = self.num_joints
@@ -533,7 +548,9 @@ class ExdetSampler:
     heatmaps + center heatmap + per-point sub-pixel offsets. Requires
     annotations with 'extreme_points' (instances_extreme_*.json)."""
 
-    def get_sample(self, index):
+    def get_sample(self, index, rng=None):
+        explicit_rng = rng
+        rng = rng if rng is not None else np.random
         img_id = self.images[index]
         img_info = self.coco.loadImgs(ids=[img_id])[0]
         img_path = os.path.join(self.img_dir, img_info["file_name"])
@@ -546,20 +563,20 @@ class ExdetSampler:
         flipped = False
         if self.split == "train":
             if not self.opt.not_rand_crop:
-                s = s * np.random.choice(np.arange(0.6, 1.4, 0.1))
+                s = s * rng.choice(np.arange(0.6, 1.4, 0.1))
                 w_border = get_border(128, width)
                 h_border = get_border(128, height)
-                c[0] = np.random.randint(low=w_border, high=width - w_border)
-                c[1] = np.random.randint(low=h_border,
+                c[0] = rng.randint(low=w_border, high=width - w_border)
+                c[1] = rng.randint(low=h_border,
                                          high=height - h_border)
             else:
                 sf, cf = self.opt.scale, self.opt.shift
-                s = s * np.clip(np.random.randn() * sf + 1, 1 - sf, 1 + sf)
-                c[0] += width * np.clip(np.random.randn() * cf,
+                s = s * np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf)
+                c[0] += width * np.clip(rng.randn() * cf,
                                         -2 * cf, 2 * cf)
-                c[1] += height * np.clip(np.random.randn() * cf,
+                c[1] += height * np.clip(rng.randn() * cf,
                                          -2 * cf, 2 * cf)
-            if np.random.random() < self.opt.flip:
+            if rng.random() < self.opt.flip:
                 flipped = True
                 img = img[:, ::-1, :]
 
@@ -567,7 +584,8 @@ class ExdetSampler:
         trans_input = get_affine_transform(c, s, 0, [input_res, input_res])
         inp = cv2.warpAffine(img, np.asarray(trans_input),
                              (input_res, input_res), flags=cv2.INTER_LINEAR)
-        input_fields = finish_input(self, inp, self.split == "train")
+        input_fields = finish_input(self, inp, self.split == "train",
+                                     rng=explicit_rng)
 
         output_res = self.opt.output_res
         num_classes = self.opt.num_classes

@@ -267,6 +267,82 @@ class CtdetDetector(BaseDetector):
 
         self._process_batch_impl = _process_batch
 
+        def _process_batch_raw(variables, raw_u8, warp_ti, trans_inv):
+            """Device-warp batched eval (VERDICT r2 next-#6): raw uint8
+            frames -> jitted letterbox warp (data/affine.py
+            warp_affine_jax) -> normalize -> net -> decode ->
+            backproject, ONE program. raw_u8: (B, MAXR, MAXR, 3) zero-
+            padded raw images; warp_ti: (B, 2, 3) model-input px -> raw
+            px affines; trans_inv: (B, 2, 3) output -> original-image
+            affines."""
+            from ..data.affine import warp_affine_jax
+            inp_h, inp_w = opt.input_h, opt.input_w
+
+            def warp_one(img_u8, ti):
+                return warp_affine_jax(img_u8.astype(jnp.float32), ti,
+                                       inp_h, inp_w)
+
+            warped = jax.vmap(warp_one)(raw_u8, warp_ti)  # (B, H, W, 3) f32
+            mean = jnp.asarray(self.mean.reshape(3), jnp.float32)
+            std = jnp.asarray(self.std.reshape(3), jnp.float32)
+            images = (warped / 255.0 - mean) / std
+            if flip_test:
+                images = jnp.concatenate([images, flip_w(images)], axis=0)
+            return _process_batch_normalized(variables, images, trans_inv)
+
+        def _process_batch_normalized(variables, images, trans_inv):
+            out = model.apply(variables, images, train=False)
+            outputs = out if isinstance(out, (list, tuple)) else [out]
+            output = outputs[-1]
+            hm = jax.nn.sigmoid(output["hm"])
+            wh = output["wh"]
+            reg = output["reg"] if reg_offset else None
+            if flip_test:
+                b = hm.shape[0] // 2
+                hm = (hm[:b] + flip_w(hm[b:])) / 2
+                wh = (wh[:b] + flip_w(wh[b:])) / 2
+                reg = reg[:b] if reg is not None else None
+            dets = D.ctdet_decode(hm, wh, reg=reg, cat_spec_wh=cat_spec_wh,
+                                  k=k)
+            return D.backproject_dets(dets, trans_inv, 1.0)
+
+        self._process_batch_raw_impl = _process_batch_raw
+
+    def pre_process_raw(self, image, meta=None):
+        """Host side of the device-warp path: zero-pad the raw frame into
+        the static (max_res, max_res) buffer and compute the two affines
+        (same c/s letterbox geometry as pre_process, scale=1 fix_res).
+        Returns None if the frame exceeds the static buffer (caller
+        falls back to the cv2 host warp)."""
+        max_res = getattr(self.opt, "device_warp_max_res", 768)
+        height, width = image.shape[0:2]
+        if height > max_res or width > max_res:
+            return None
+        c = np.array([width / 2.0, height / 2.0], dtype=np.float32)
+        s = max(height, width) * 1.0
+        inp_h, inp_w = self.opt.input_h, self.opt.input_w
+        warp_ti = get_affine_transform(
+            c, s, 0, [inp_w, inp_h], inv=1).astype(np.float32)
+        out_h = inp_h // self.opt.down_ratio
+        out_w = inp_w // self.opt.down_ratio
+        trans_inv = get_affine_transform(
+            c, s, 0, [out_w, out_h], inv=1).astype(np.float32)
+        padded = np.zeros((max_res, max_res, 3), np.uint8)
+        padded[:height, :width] = image
+        return padded, warp_ti, trans_inv
+
+    def process_batch_raw(self, raw_u8, warp_tis, trans_invs):
+        """Run the device-warp batched program with weights closed over."""
+        if getattr(self, "_closed_raw_vars", None) is not self.variables:
+            self._closed_raw_vars = self.variables
+            v = self.variables
+            self._closed_raw_fn = jax.jit(
+                lambda raw, wti, ti: self._process_batch_raw_impl(
+                    v, raw, wti, ti))
+        return self._closed_raw_fn(jnp.asarray(raw_u8),
+                                   jnp.asarray(warp_tis),
+                                   jnp.asarray(trans_invs))
+
     def process(self, images, trans_inv, scale):
         fn = self._weight_closed(
             lambda v, images, trans_inv, inv_scale: self._process_impl(

@@ -197,6 +197,16 @@ class Trainer:
                                           num_classes=opt.num_classes)
         self.variables = None
         self.opt_state = None
+        self._hooks = None
+
+    @property
+    def hooks(self):
+        """Lazily-built debug/save_result hooks (train_hooks.TrainHooks) —
+        only paid for when --debug or --test is on."""
+        if self._hooks is None:
+            from .train_hooks import TrainHooks
+            self._hooks = TrainHooks(self.opt, self.model)
+        return self._hooks
 
     # -- state ---------------------------------------------------------
     def init(self, rng=None, input_shape=None):
@@ -214,7 +224,7 @@ class Trainer:
 
     # -- epochs ----------------------------------------------------------
     def run_epoch(self, phase, epoch, loader, num_iters=-1, print_iter=0,
-                  on_batch=None):
+                  on_batch=None, results=None):
         meters = {}
         data_time = AverageMeter()
         batch_time = AverageMeter()
@@ -241,7 +251,12 @@ class Trainer:
             meta = batch.pop("meta", None)
             bs = batch["input_u8" if "input_u8" in batch
                        else "input"].shape[0]
-            batch = shard_batch(self.mesh, batch)
+            if bs % self.mesh.devices.size == 0:
+                batch = shard_batch(self.mesh, batch)
+            else:
+                # e.g. the reference's batch-1 val loader on a multi-chip
+                # mesh: batch dim not divisible -> default placement
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
             data_time.update(time.time() - end)
 
             if phase == "train":
@@ -261,6 +276,14 @@ class Trainer:
                 print("{} epoch {} [{}/{}] {} | data {:.3f}s net {:.3f}s"
                       .format(phase, epoch, it, n_iters, msg,
                               data_time.avg, batch_time.avg))
+            # training-time debug rendering (reference base_trainer.py:93-94)
+            if getattr(self.opt, "debug", 0) > 0:
+                self.hooks.debug(self.variables, batch, meta, it,
+                                 phase=phase)
+            # decoded val predictions for mAP-during-training (reference
+            # base_trainer.py:96-97, gated on --test)
+            if results is not None and getattr(self.opt, "test", False):
+                self.hooks.save_result(self.variables, batch, meta, results)
             if on_batch is not None:
                 on_batch(it, batch, meta)
         flush()
@@ -272,4 +295,9 @@ class Trainer:
                               print_iter=self.opt.print_iter, **kw)
 
     def val(self, epoch, loader, **kw):
-        return self.run_epoch("val", epoch, loader, **kw)
+        """Returns (stats, results) like the reference trainer.val
+        (base_trainer.py:115-116 + main.py:51-54): `results` holds decoded
+        per-image predictions when --test is set, else stays empty."""
+        results = {}
+        stats = self.run_epoch("val", epoch, loader, results=results, **kw)
+        return stats, results

@@ -370,7 +370,7 @@ class CodesignDeformBlock(nn.Module):
                           use_bias=True, qspec=self.qspec,
                           kernel_init=nn.initializers.zeros,
                           bias_init=nn.initializers.ones,
-                          name="conv_scale")
+                          dtype=self.dtype, name="conv_scale")
         s = conv_scale(x)
         s = hardtanh(s, -self.offset_bound + 1, self.offset_bound)
         s = QuantAct(self.qspec, mode="asymmetric", name="scale_act")(

@@ -120,8 +120,8 @@ def _grid_geometry(w_dim, tile, hw_pad):
     return py, px, qy, qx
 
 
-def _fwd_kernel(x_ref, s_ref, w_ref, o_ref, *, h, w_dim, tile, img_block,
-                rolled):
+def _fwd_kernel(x_ref, s_ref, w_ref, o_ref, *scratch, h, w_dim, tile,
+                img_block, rolled):
     """One (image-block, row-tile) grid step: for each of `img_block`
     images, build the separable per-axis bilinear factors in VMEM, form
     the 9 tap matrices as RY*RX products, and contract with the image's
@@ -130,8 +130,9 @@ def _fwd_kernel(x_ref, s_ref, w_ref, o_ref, *, h, w_dim, tile, img_block,
     rolled=True switches the tap loop to lax.fori_loop for large maps:
     Mosaic stack-allocates unrolled temporaries, and 9 x (tile, HWpad)
     matrices exceed the 16 MB scoped-VMEM limit when HWpad*4KB is large;
-    small maps keep the unrolled loop, which shares the 3 per-axis factors
-    across taps."""
+    small maps keep the unrolled loop. Both regimes share the 3 distinct
+    per-axis factors across the 9 taps — the rolled loop via VMEM scratch
+    indexed from the fori_loop (6 builds per image instead of 18)."""
     hw_pad = x_ref.shape[1]
     py, px, qy, qx = _grid_geometry(w_dim, tile, hw_pad)
 
@@ -150,12 +151,13 @@ def _fwd_kernel(x_ref, s_ref, w_ref, o_ref, *, h, w_dim, tile, img_block,
                                     preferred_element_type=jnp.float32) \
                     * tap_w[None, :].astype(jnp.float32)
         else:
+            ry_ref, rx_ref = scratch
+            for k, a in enumerate((-1.0, 0.0, 1.0)):
+                ry_ref[k], _ = _axis_factor_traced(s, py, qy, a)
+                rx_ref[k], _ = _axis_factor_traced(s, px, qx, a)
+
             def tap_body(t, acc):
-                ai = (t // 3 - 1).astype(jnp.float32)
-                aj = (t % 3 - 1).astype(jnp.float32)
-                RY, _ = _axis_factor_traced(s, py, qy, ai)
-                RX, _ = _axis_factor_traced(s, px, qx, aj)
-                B = RY * RX
+                B = ry_ref[t // 3] * rx_ref[t % 3]
                 tap_w = _row_select(w_ref, t)  # (1, C)
                 return acc + jnp.dot(B.astype(x.dtype), x,
                                      preferred_element_type=jnp.float32) \
@@ -180,7 +182,8 @@ def _axis_factor_traced(s, p_axis, q_axis, a):
     return R, dR
 
 
-def _bwd_kernel(x_ref, s_ref, g_ref, w_ref, dx_ref, ds_ref, dw_ref, *,
+def _bwd_kernel(x_ref, s_ref, g_ref, w_ref, dx_ref, ds_ref, dw_ref,
+                ry_ref, dry_ref, rx_ref, drx_ref, *,
                 h, w_dim, tile, img_block):
     """Fused backward: accumulate dX over row-tiles (j), dw over the whole
     grid; ds is written per (image, tile). D_t = dB_t/ds via the product
@@ -189,7 +192,13 @@ def _bwd_kernel(x_ref, s_ref, g_ref, w_ref, dx_ref, ds_ref, dw_ref, *,
     The tap loop is a lax.fori_loop (not unrolled): Mosaic stack-allocates
     unrolled temporaries, and 9 taps x (B, D, dots) of (tile, HWpad) f32
     blew the 16 MB scoped-VMEM limit at 32x32x128/batch-64 shapes; the
-    rolled loop reuses one iteration's buffers."""
+    rolled loop reuses one iteration's buffers.
+
+    The 9 taps share only 3 distinct per-axis factors; rebuilding all 4
+    per tap made the VPU factor build the kernel's bottleneck on
+    small-C maps (r2 NOTES). Now each image's 6 factor pairs build ONCE
+    into VMEM scratch and the tap loop dynamically indexes them
+    (leading-axis ref indexing) — 6 builds instead of 36 per image."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     hw_pad = x_ref.shape[1]
@@ -209,13 +218,19 @@ def _bwd_kernel(x_ref, s_ref, g_ref, w_ref, dx_ref, ds_ref, dw_ref, *,
         s = s_ref[ib]                          # (tile, 1)
         g = g_ref[ib].astype(jnp.float32)      # (tile, C)
 
+        for k, a in enumerate((-1.0, 0.0, 1.0)):
+            R, dR = _axis_factor_traced(s, py, qy, a)
+            ry_ref[k], dry_ref[k] = R, dR
+            R, dR = _axis_factor_traced(s, px, qx, a)
+            rx_ref[k], drx_ref[k] = R, dR
+
         def tap_body(t, carry):
             ds_acc, dx_acc, dw_acc = carry
             # tap t of the row-major 3x3 grid: anchor = (t//3 - 1, t%3 - 1)
-            ai = (t // 3 - 1).astype(jnp.float32)
-            aj = (t % 3 - 1).astype(jnp.float32)
-            RY, dRY = _axis_factor_traced(s, py, qy, ai)
-            RX, dRX = _axis_factor_traced(s, px, qx, aj)
+            ai = t // 3
+            aj = t % 3
+            RY, dRY = ry_ref[ai], dry_ref[ai]
+            RX, dRX = rx_ref[aj], drx_ref[aj]
             B = RY * RX
             D = dRY * RX + RY * dRX
             tap_w = _row_select(w_ref, t)      # (1, C)
@@ -399,8 +414,9 @@ def _fwd_pallas_call(x_flat, s_flat, w_kc, *, h, w_dim, tile, img_block):
     # the scoped-VMEM driver is the set of (tile, HWpad) tap matrices the
     # unrolled loop keeps live (~15 x tile*HWpad*4B incl. shared factors);
     # beyond HWpad=1024 that approaches the 16 MB limit, so roll the loop
+    rolled = hw_pad > 1024
     kernel = functools.partial(_fwd_kernel, h=h, w_dim=w_dim, tile=tile,
-                               img_block=img_block, rolled=hw_pad > 1024)
+                               img_block=img_block, rolled=rolled)
     return pl.pallas_call(
         kernel,
         interpret=_interpret(),
@@ -416,6 +432,8 @@ def _fwd_pallas_call(x_flat, s_flat, w_kc, *, h, w_dim, tile, img_block):
         out_specs=pl.BlockSpec((img_block, tile, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, hw_pad, c), x_flat.dtype),
+        scratch_shapes=([pltpu.VMEM((3, tile, hw_pad), jnp.float32)
+                         for _ in range(2)] if rolled else []),
     )(x_flat, s_flat, w_kc)
 
 
@@ -423,12 +441,14 @@ def _forward_pallas(x, s, weight_kc, img_block=8):
     n, h, w_dim, c, hw, hw_pad, tile, img_block = _plan(
         x, img_block, 2 * 1024 * 1024)
     if hw_pad > 1024:
-        # rolled-loop regime: f32 factor/B temporaries dominate scoped
-        # VMEM; replan with an f32-basis image block and a 1 MB tile
-        # budget (verified on v5e: bf16 batch-32 64x64x128 OOM'd at
-        # img_block 2 / tile 128)
+        # rolled-loop regime: f32 factor/B temporaries + the 6 shared-
+        # factor scratch matrices dominate scoped VMEM (~10 x
+        # tile*HWpad*4B live); replan with an f32-basis image block and
+        # a tile budget that keeps that under the 16 MB limit (verified
+        # on v5e: tile 128 @ HWpad 4096 OOM'd by 48 KB with a 2 MB
+        # budget once scratch landed)
         n, h, w_dim, c, hw, hw_pad, tile, img_block = _plan(
-            x, img_block, 1024 * 1024, tile_budget_bytes=2 * 1024 * 1024,
+            x, img_block, 1024 * 1024, tile_budget_bytes=1024 * 1024,
             assume_f32=True)
     x_flat = _pad_rows(x.reshape(n, hw, c), hw, hw_pad)
     s_flat = _pad_rows(s.astype(jnp.float32).reshape(n, hw, 1), hw, hw_pad)
@@ -469,6 +489,8 @@ def _bwd_pallas_call(x_flat, s_flat, g_flat, w_kc, *, h, w_dim, tile,
             jax.ShapeDtypeStruct((n, hw_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((9, c), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((3, tile, hw_pad), jnp.float32)
+                        for _ in range(4)],
     )(x_flat, s_flat, g_flat, w_kc)
 
 

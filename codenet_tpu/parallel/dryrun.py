@@ -1,0 +1,86 @@
+"""Hermetic multi-chip dryrun body (run in a scrubbed-env subprocess).
+
+Jits the FULL data-parallel training step (batch sharded over a 'data'
+mesh, params replicated, XLA grad all-reduce over ICI) on an n-device
+virtual CPU mesh and runs one step on tiny shapes. This validates the
+framework's multi-chip sharding story (SURVEY.md §2.2) without TPU
+hardware.
+
+MUST run in a process where the TPU plugin was never registered: the
+launcher (`__graft_entry__.dryrun_multichip`) spawns this module via
+`python -m codenet_tpu.parallel.dryrun N` with JAX_PLATFORMS=cpu and all
+axon/TPU env vars scrubbed, so `import jax` here only ever sees the host
+platform split into N virtual devices. Rounds 1 and 2 both failed by
+letting the in-process TPU plugin initialize during what should be a
+CPU-only check (r1: init-order ate the host-device-count flag; r2: a
+libtpu client/terminal version skew raised FAILED_PRECONDITION).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def run(n_devices: int) -> None:
+    # Belt-and-braces: if somehow invoked with the axon env intact, force
+    # CPU before jax is imported. (The launcher already scrubs the env.)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    # The dryrun validates SHARDING, not kernels: route the deform op
+    # through its XLA formulation instead of the TPU-only Pallas kernels.
+    os.environ["CODENET_FORCE_XLA_DEFORM"] = "1"
+
+    import jax
+    import numpy as onp
+
+    from codenet_tpu import config as cfg
+    from codenet_tpu.engine.trainer import Trainer
+    from codenet_tpu.parallel import get_mesh, shard_batch
+
+    devices = jax.devices()
+    assert all(d.platform == "cpu" for d in devices), (
+        "dryrun must run on the virtual CPU mesh, got "
+        + repr({d.platform for d in devices}))
+    devices = devices[:n_devices]
+    assert len(devices) == n_devices, (
+        f"need {n_devices} devices, have {len(devices)}")
+    mesh = get_mesh(devices)
+
+    opt = cfg.parse(
+        "ctdet --dataset pascal --arch shufflenetv2 --input_res 64 "
+        f"--batch_size {2 * n_devices} --num_epochs 1".split())
+    opt = cfg.update_dataset_info_and_set_heads(
+        opt, cfg.DATASET_SPECS["pascal"])
+
+    trainer = Trainer(opt, mesh=mesh)
+    trainer.init()
+
+    b = 2 * n_devices
+    out_res = 16
+    rng = onp.random.RandomState(0)
+    batch = {
+        "input": rng.randn(b, 64, 64, 3).astype(onp.float32),
+        "hm": onp.zeros((b, out_res, out_res, 20), onp.float32),
+        "wh": onp.zeros((b, 50, 2), onp.float32),
+        "reg": onp.zeros((b, 50, 2), onp.float32),
+        "ind": onp.zeros((b, 50), onp.int64),
+        "reg_mask": onp.ones((b, 50), onp.uint8),
+    }
+    batch["hm"][:, 8, 8, 0] = 1.0
+    batch["ind"][:, 0] = 8 * out_res + 8
+    batch = shard_batch(mesh, batch)
+
+    variables, opt_state, stats = trainer.train_step(
+        trainer.variables, trainer.opt_state, batch)
+    loss = float(stats["loss"])
+    assert onp.isfinite(loss), loss
+    print(f"dryrun_multichip({n_devices}): loss={loss:.4f} OK", flush=True)
+
+
+if __name__ == "__main__":
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

@@ -88,3 +88,23 @@ def test_gaussian_radius_and_splat():
     A.draw_umich_gaussian(hm, (0, 0), 5)
     A.draw_umich_gaussian(hm, (31, 31), 5)
     assert hm[0, 0] == 1.0 and hm[31, 31] == 1.0
+
+
+def test_warp_affine_jax_letterbox_cases():
+    """The detector's actual letterbox geometries (VERDICT r2 next-#6):
+    non-square frames, upscale and downscale, centered padding — device
+    warp must match cv2 within INTER_LINEAR's 5-bit fixed-point noise."""
+    rng = np.random.RandomState(3)
+    for (h, w, res) in [(90, 120, 64), (375, 500, 256), (480, 640, 512),
+                        (333, 220, 256)]:
+        img = rng.uniform(0, 255, size=(h, w, 3)).astype(np.float32)
+        c = np.array([w / 2.0, h / 2.0], np.float32)
+        s = max(h, w) * 1.0
+        trans = A.get_affine_transform(c, s, 0, [res, res])
+        ref = cv2.warpAffine(img, np.asarray(trans), (res, res),
+                             flags=cv2.INTER_LINEAR)
+        inv = A.get_affine_transform(c, s, 0, [res, res], inv=1)
+        got = np.asarray(A.warp_affine_jax(img, np.asarray(inv, np.float32),
+                                           res, res))
+        assert np.mean(np.abs(got - ref)) < 0.5, (h, w, res)
+        assert np.max(np.abs(got - ref)) < 16.0, (h, w, res)

@@ -3,12 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from codenet_tpu.models import create_model
 
 HEADS = {"hm": 3, "wh": 2, "reg": 2}
 
 
+@pytest.mark.slow
 def test_hourglass_two_stacks():
     model = create_model("hourglass", HEADS, 64)
     x = jnp.zeros((1, 128, 128, 3), jnp.float32)
@@ -25,6 +27,7 @@ def test_hourglass_two_stacks():
     np.testing.assert_allclose(np.asarray(b1), -2.19, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dlav0_forward():
     model = create_model("dlav0_34", HEADS, 256)
     x = jnp.zeros((1, 128, 128, 3), jnp.float32)
@@ -54,6 +57,7 @@ def test_dla_bilinear_up_matches_torch():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dla_dcn_forward_and_grads():
     """dla_34 (reference pose_dla_dcn.py, excluded from the reference's
     own factory): DCNv2 IDA upsampling produces stride-4 heads and finite

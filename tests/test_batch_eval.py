@@ -37,6 +37,7 @@ def _load_results(opt):
         return json.load(f)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("flip", ["", "--flip_test"])
 def test_batched_matches_per_image(voc_root, flip):
     from codenet_tpu.cli.test import prefetch_test, batched_test
@@ -66,3 +67,45 @@ def test_batched_falls_back_on_multiscale(voc_root, capsys):
                             "--batch_eval 2 --test_scales 0.5,1"))
     assert "falling back" in capsys.readouterr().out
     assert out is not None
+
+
+def test_device_warp_matches_host_warp(voc_root):
+    """--device_warp runs the letterbox warp inside the fused program
+    (VERDICT r2 next-#6); boxes must match the cv2 host-warp path within
+    interpolation quantization (cv2 INTER_LINEAR is 5-bit fixed point)."""
+    from codenet_tpu.cli.test import batched_test
+
+    a = _opt(voc_root, "bev_hostwarp", "--batch_eval 2")
+    batched_test(a)
+    b = _opt(voc_root, "bev_devwarp",
+             "--batch_eval 2 --device_warp --device_warp_max_res 128")
+    batched_test(b)
+    ra, rb = _load_results(a), _load_results(b)
+    assert len(ra) == len(rb)
+    matched = total = 0
+    for cls in range(1, len(ra)):
+        for i, (da, db) in enumerate(zip(ra[cls], rb[cls])):
+            da = np.asarray(da, np.float32).reshape(-1, 5)
+            db = np.asarray(db, np.float32).reshape(-1, 5)
+            assert da.shape == db.shape, (cls, i)
+            total += da.shape[0]
+            if da.shape[0]:
+                # boxes within 1px, scores within interpolation noise
+                if (np.allclose(da[:, :4], db[:, :4], atol=1.0)
+                        and np.allclose(da[:, 4], db[:, 4], atol=0.05)):
+                    matched += da.shape[0]
+    assert total > 0
+    assert matched / total > 0.97, (matched, total)
+
+
+def test_device_warp_oversize_falls_back(voc_root):
+    """Frames larger than the static raw buffer transparently fall back
+    to the host cv2 warp inside the same run."""
+    from codenet_tpu.cli.test import batched_test
+
+    o = _opt(voc_root, "bev_fallback",
+             "--batch_eval 2 --device_warp --device_warp_max_res 64")
+    # 120x90 images exceed the 64px buffer -> all go through host path
+    batched_test(o)
+    r = _load_results(o)
+    assert len(r) > 0

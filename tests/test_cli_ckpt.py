@@ -32,8 +32,9 @@ def _run(voc_root, tmp_path, monkeypatch, val_losses, extra=""):
     monkeypatch.setattr(Trainer, "train",
                         lambda self, epoch, loader, **k: {"loss": 1.0})
     it = iter(val_losses)
-    monkeypatch.setattr(Trainer, "val",
-                        lambda self, epoch, loader, **k: {"loss": next(it)})
+    monkeypatch.setattr(
+        Trainer, "val",
+        lambda self, epoch, loader, **k: ({"loss": next(it)}, {}))
     monkeypatch.setattr(
         checkpoint, "save_model",
         lambda path, epoch, variables, opt_state=None:

@@ -95,3 +95,99 @@ def test_convert_and_load_exact():
     # forward runs with converted weights
     out = model.apply(loaded, x)
     assert out["hm"].shape == (1, 16, 16, 20)
+
+
+def test_load_model_pth_transparent(tmp_path):
+    """--load_model foo.pth converts in place (VERDICT r2 next-#7): the
+    torch payload routes through the converter, no manual tool run."""
+    import os
+    import torch
+    from codenet_tpu.models import create_model
+    from codenet_tpu.engine import checkpoint
+
+    sd = _synth_reference_state_dict()
+    p = os.path.join(str(tmp_path), "model_last.pth")
+    torch.save({"state_dict": {k: torch.from_numpy(v)
+                               for k, v in sd.items()}, "epoch": 7}, p)
+
+    model = create_model("shufflenetv2", {"hm": 20, "wh": 2, "reg": 2}, 64)
+    init_vars = dict(model.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, 3), jnp.float32)))
+    loaded, epoch, _ = checkpoint.load_model(p, init_vars, strict=True)
+    assert epoch == 7
+    k = np.asarray(loaded["params"]["layer0"]["kernel"])
+    np.testing.assert_allclose(
+        k, np.transpose(sd["layer0.0.weight"], (2, 3, 1, 0)))
+
+
+def test_pytorchcv_backbone_numerics(tmp_path):
+    """ImageNet warm start: a pytorchcv-layout checkpoint converts into
+    the backbone and our eval forward matches torch's conv+BN numerics
+    (the reference's init_weights rename table, done right —
+    shufflenetv2_dcn.py:343-361 dead code)."""
+    import torch
+    import torch.nn.functional as F
+    from codenet_tpu.models.layers import ConvBN
+    from codenet_tpu.engine.torch_import import convert_pretrained_backbone
+
+    rng = np.random.RandomState(1)
+    w = rng.randn(24, 3, 3, 3).astype(np.float32) * 0.1
+    g = rng.rand(24).astype(np.float32) + 0.5
+    b = rng.randn(24).astype(np.float32) * 0.1
+    mean = rng.randn(24).astype(np.float32) * 0.1
+    var = rng.rand(24).astype(np.float32) + 0.5
+
+    sd = {
+        "features.init_block.conv.conv.weight": w,
+        "features.init_block.conv.bn.weight": g,
+        "features.init_block.conv.bn.bias": b,
+        "features.init_block.conv.bn.running_mean": mean,
+        "features.init_block.conv.bn.running_var": var,
+    }
+    variables = convert_pretrained_backbone(sd)
+    assert "layer0" in variables["params"]
+
+    x = rng.randn(2, 24, 24, 3).astype(np.float32)
+    mod = ConvBN(24, kernel_size=3, stride=4, padding=1, name="layer0")
+    vars_full = {
+        "params": {"scale": g, "bias": b,
+                   "kernel": variables["params"]["layer0"]["kernel"]},
+        "batch_stats": {"mean": mean, "var": var},
+    }
+    ours = np.asarray(mod.apply(vars_full, jnp.asarray(x), train=False))
+
+    xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    yt = F.conv2d(xt, torch.from_numpy(w), stride=4, padding=1)
+    yt = F.batch_norm(yt, torch.from_numpy(mean), torch.from_numpy(var),
+                      torch.from_numpy(g), torch.from_numpy(b),
+                      training=False)
+    theirs = np.transpose(yt.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(ours, theirs, rtol=2e-5, atol=2e-5)
+
+
+def test_pytorchcv_full_rename_coverage():
+    """Every pytorchcv stage/unit key renames onto a reference key the
+    backbone converter consumes (stride-2 and stride-1 units)."""
+    from codenet_tpu.engine.torch_import import pytorchcv_to_reference_names
+
+    names = {
+        "features.stage2.unit1.compress_conv1.weight": "layer2.0.b2.0.weight",
+        "features.stage2.unit1.compress_bn1.running_mean":
+            "layer2.0.b2.1.running_mean",
+        "features.stage2.unit1.dw_conv2.weight": "layer2.0.b2.3.weight",
+        "features.stage2.unit1.dw_bn2.weight": "layer2.0.b2.4.weight",
+        "features.stage2.unit1.expand_conv3.weight": "layer2.0.b2.5.weight",
+        "features.stage2.unit1.expand_bn3.bias": "layer2.0.b2.6.bias",
+        "features.stage2.unit1.dw_conv4.weight": "layer2.0.b1.0.weight",
+        "features.stage2.unit1.dw_bn4.running_var":
+            "layer2.0.b1.1.running_var",
+        "features.stage2.unit1.expand_conv5.weight": "layer2.0.b1.2.weight",
+        "features.stage2.unit1.expand_bn5.weight": "layer2.0.b1.3.weight",
+        "features.stage3.unit4.compress_conv1.weight": "layer3.3.b2.0.weight",
+        "features.final_block.conv.weight": "layer4.0.weight",
+        "features.final_block.bn.weight": "layer4.1.weight",
+    }
+    out = pytorchcv_to_reference_names(
+        {k: np.zeros(1, np.float32) for k in names})
+    for src, want in names.items():
+        assert want in out, (src, want, sorted(out))

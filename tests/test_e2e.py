@@ -70,6 +70,7 @@ def test_sampler_targets(voc_root):
     assert host_sample["hm"].shape == (16, 16, 20)
 
 
+@pytest.mark.slow
 def test_train_steps_and_loss_finite(voc_root):
     opt = _opt(voc_root)
     from codenet_tpu.data.datasets import get_dataset
@@ -109,6 +110,7 @@ def test_detector_eval_pipeline(voc_root, tmp_path):
     assert row is not None and len(row) == 5
 
 
+@pytest.mark.slow
 def test_quant_train_step_runs(voc_root):
     opt = _opt(voc_root)
     from codenet_tpu.data.datasets import get_dataset
@@ -150,3 +152,56 @@ def test_device_vs_host_input_parity(voc_root):
         .reshape(3))
     np.testing.assert_allclose(np.asarray(out[0]), host["input"],
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_train_debug_renders_images(voc_root):
+    """--debug 2 during training must dump pred-vs-GT renders (reference
+    trains/ctdet.py:85-120 via base_trainer.py:93-94; VERDICT r2 next-#4)."""
+    import glob
+    from codenet_tpu.data.datasets import get_dataset
+    from codenet_tpu.data.loader import DataLoader
+    from codenet_tpu.engine.trainer import Trainer
+
+    opt = _opt(voc_root, "--debug 2 --exp_id dbgtest")
+    Dataset = get_dataset("pascal", "ctdet")
+    loader = DataLoader(Dataset(opt, "train"), 2, shuffle=False,
+                        num_workers=1)
+    trainer = Trainer(opt)
+    trainer.init()
+    trainer.train(1, loader)
+    imgs = glob.glob(os.path.join(opt.debug_dir, "*.png")) + \
+        glob.glob(os.path.join(opt.debug_dir, "*.jpg"))
+    names = [os.path.basename(p) for p in imgs]
+    assert any("pred_hm" in n for n in names), names
+    assert any("gt_hm" in n for n in names), names
+    assert any("out_pred" in n for n in names), names
+
+
+def test_val_returns_decoded_results_for_map(voc_root):
+    """trainer.val returns (stats, results) and --test fills results with
+    back-projected per-class detections the dataset evaluator accepts
+    (reference main.py:51-54 + trains/ctdet.py:122-132)."""
+    from codenet_tpu.data.datasets import get_dataset
+    from codenet_tpu.data.loader import DataLoader
+    from codenet_tpu.engine.trainer import Trainer
+
+    opt = _opt(voc_root, "--test --exp_id valtest")
+    Dataset = get_dataset("pascal", "ctdet")
+    ds = Dataset(opt, "val")
+    loader = DataLoader(ds, 1, shuffle=False, num_workers=1)
+    trainer = Trainer(opt)
+    trainer.init()
+    stats, results = trainer.val(0, loader)
+    assert "loss" in stats
+    assert len(results) == len(ds)
+    one = next(iter(results.values()))
+    # per-class dict of (n, 5) box lists, 1-based class ids
+    assert set(one.keys()) == set(range(1, 21))
+    arr = np.asarray(one[1], dtype=np.float32).reshape(-1, 5)
+    assert arr.shape[1] == 5
+    # and the dataset evaluator accepts them end-to-end
+    out = os.path.join(opt.save_dir, "valmap")
+    os.makedirs(out, exist_ok=True)
+    ds.run_eval(results, out)
+    assert os.path.exists(os.path.join(out, "results.json"))

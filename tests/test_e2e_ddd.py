@@ -36,6 +36,7 @@ def _opt(kitti_root, root_dir, extra=""):
     return opt
 
 
+@pytest.mark.slow
 def test_ddd_train_and_eval(kitti_root, tmp_path):
     opt = _opt(kitti_root, str(tmp_path))
     from codenet_tpu.cli.main import run_training

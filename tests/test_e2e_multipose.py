@@ -56,6 +56,7 @@ def coco_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_multipose_train_and_eval(coco_root, tmp_path):
     args = ("multi_pose --dataset coco_hp --arch shufflenetv2 "
             "--input_res 64 --batch_size 2 --num_workers 1 "

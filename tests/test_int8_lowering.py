@@ -55,6 +55,7 @@ def test_int8_act_quant_matches_fake_within_range():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_full_model_int8_close_to_fake_quant():
     qs = QuantSpec()
     qs8 = QuantSpec(int8_infer=True)

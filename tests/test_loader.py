@@ -82,3 +82,36 @@ def test_loader_drop_last():
     padded = list(DataLoader(ds, 4, shuffle=False, num_workers=2,
                              drop_last=False))
     assert len(padded) == 3 and padded[-1]["input"].shape[0] == 2
+
+
+def test_augmentation_deterministic_across_worker_counts(tmp_path):
+    """ADVICE r2: per-batch RNG makes augmentation draws independent of
+    thread scheduling — 1-worker and 4-worker runs produce bit-identical
+    batches, across repeated runs."""
+    pytest.importorskip("cv2")
+    from synthetic import make_voc_dataset
+    from codenet_tpu import config as cfg
+    from codenet_tpu.data.datasets import get_dataset
+
+    make_voc_dataset(str(tmp_path), num_images=8)
+    args = ("ctdet --dataset pascal --arch shufflenetv2 --input_res 64 "
+            "--batch_size 2 --num_workers 1").split()
+    opt = cfg.parse(args)
+    opt.data_dir = str(tmp_path)
+    opt = cfg.update_dataset_info_and_set_heads(
+        opt, cfg.DATASET_SPECS["pascal"])
+    ds = get_dataset("pascal", "ctdet")(opt, "train")
+
+    def run(workers):
+        loader = DataLoader(ds, 2, shuffle=True, num_workers=workers,
+                            seed=11)
+        return [{k: v for k, v in b.items() if k != "meta"}
+                for b in loader]
+
+    a, b, c = run(1), run(4), run(4)
+    assert len(a) == len(b) == len(c) > 0
+    for ba, bb, bc in zip(a, b, c):
+        assert set(ba) == set(bb) == set(bc)
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k], err_msg=k)
+            np.testing.assert_array_equal(ba[k], bc[k], err_msg=k)

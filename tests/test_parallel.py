@@ -11,11 +11,13 @@ def test_eight_devices():
     assert len(jax.devices()) == 8, jax.devices()
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_batch_matches_single_device():
     """Same loss whether the batch is sharded over 8 devices or 1."""
     from codenet_tpu import config as cfg
@@ -89,6 +91,7 @@ def _leaves_allclose(a, b, rtol, atol=1e-5):
 
 @pytest.mark.parametrize("quantized", [False, True],
                          ids=["fp32_batchstats", "qat_quantstats"])
+@pytest.mark.slow
 def test_multistep_state_equivalence(quantized):
     """VERDICT r1 #9: >=3 optimizer steps must leave params AND the mutated
     stats collections (batch_stats running averages / QAT quant_stats EMA)

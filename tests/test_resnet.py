@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -34,6 +35,7 @@ def test_conv_transpose_matches_torch():
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_resdcn_forward_and_grads():
     """resdcn_18 (reference resnet_dcn.py, excluded from the reference's
     own factory): DCNv2 deconv stages produce stride-4 heads and finite

@@ -27,6 +27,7 @@ def _init_and_run(model, x, train=False, update_stats=False):
     return variables, out, {}
 
 
+@pytest.mark.slow
 def test_forward_shapes_256():
     model = create_model("shufflenetv2", HEADS, 64)
     x = jnp.zeros((2, 256, 256, 3), jnp.float32)
@@ -50,6 +51,7 @@ def test_maxpool_variant_same_output_stride():
     assert out["hm"].shape == (1, 64, 64, 20)
 
 
+@pytest.mark.slow
 def test_w2_channels():
     model = create_model("shufflenetv2", HEADS, 64, w2=True)
     x = jnp.zeros((1, 128, 128, 3), jnp.float32)
@@ -157,6 +159,7 @@ def test_symmetric_weight_quant_levels():
         assert q.min() >= -8 - 1e-4 and q.max() <= 7 + 1e-4
 
 
+@pytest.mark.slow
 def test_train_mode_updates_batch_stats():
     model = create_model("shufflenetv2", HEADS, 64)
     x = jax.random.normal(jax.random.PRNGKey(2), (2, 128, 128, 3))
@@ -165,3 +168,57 @@ def test_train_mode_updates_batch_stats():
     before = np.asarray(v["batch_stats"]["layer0"]["mean"])
     after = np.asarray(new_vars["batch_stats"]["layer0"]["mean"])
     assert not np.allclose(before, after)
+
+
+@pytest.mark.slow
+def test_qat_bf16_matches_f32_numerics():
+    """bf16 QAT training (VERDICT r2 next-#3): the quantizer math runs in
+    f32 regardless of compute dtype (QuantAct casts to f32 before the
+    fake-quant round), so 3 bf16 QAT steps must track the f32 steps —
+    close losses and near-identical EMA activation ranges."""
+    import jax
+    import optax
+    from codenet_tpu import config as cfg
+    from codenet_tpu.engine.trainer import Trainer
+    from codenet_tpu.models.layers import QuantSpec
+
+    def steps(dtype_flag):
+        opt = cfg.parse(("ctdet --dataset pascal --arch shufflenetv2 "
+                         "--input_res 64 --batch_size 2 " + dtype_flag)
+                        .split())
+        opt = cfg.update_dataset_info_and_set_heads(
+            opt, cfg.DATASET_SPECS["pascal"])
+        qspec = QuantSpec(w_bit=4, a_bit=8)
+        tr = Trainer(opt, qspec=qspec)
+        tr.init()
+        rng = np.random.RandomState(0)
+        m = 50
+        batch = {
+            "input": rng.randn(2, 64, 64, 3).astype(np.float32) * 0.3,
+            "hm": np.zeros((2, 16, 16, 20), np.float32),
+            "wh": rng.rand(2, m, 2).astype(np.float32),
+            "reg": rng.rand(2, m, 2).astype(np.float32),
+            "ind": rng.randint(0, 256, (2, m)).astype(np.int64),
+            "reg_mask": np.ones((2, m), np.uint8),
+        }
+        batch["hm"][:, 8, 8, 0] = 1.0
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        losses = []
+        for _ in range(3):
+            tr.variables, tr.opt_state, stats = tr.train_step(
+                tr.variables, tr.opt_state, batch)
+            losses.append(float(stats["loss"]))
+        qs = jax.tree_util.tree_map(np.asarray,
+                                    tr.variables["quant_stats"])
+        return np.asarray(losses), qs
+
+    l32, q32 = steps("")
+    l16, q16 = steps("--dtype bfloat16")
+    assert np.all(np.isfinite(l16))
+    # losses track within bf16 resolution of the activations (~1%)
+    np.testing.assert_allclose(l16, l32, rtol=0.05)
+    # EMA ranges agree closely (quant math is f32 in both)
+    flat32, _ = jax.tree_util.tree_flatten(q32)
+    flat16, _ = jax.tree_util.tree_flatten(q16)
+    for a, b in zip(flat32, flat16):
+        np.testing.assert_allclose(b, a, rtol=0.05, atol=0.05)

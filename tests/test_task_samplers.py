@@ -80,6 +80,7 @@ def test_multi_pose_sampler_and_train_step(coco_root):
     assert stats["hp_loss"] >= 0
 
 
+@pytest.mark.slow
 def test_exdet_sampler_and_train_step(coco_root):
     from codenet_tpu.data.datasets import get_dataset
     from codenet_tpu.data.loader import DataLoader

@@ -74,6 +74,117 @@ def run(train_images=64, test_images=16, input_res=128, batch_size=16,
     return mean_present, data_root
 
 
+def _score(exp_id, data_root):
+    from codenet_tpu.eval.voc_eval import voc_eval_from_coco_json
+    from synthetic import VOC_CLASSES
+    import json as _json
+    results = os.path.join(REPO, "exp", "ctdet", exp_id, "results.json")
+    gt = os.path.join(data_root, "voc", "annotations",
+                      "pascal_test2007.json")
+    scores = voc_eval_from_coco_json(results, gt, VOC_CLASSES, quiet=True)
+    with open(gt) as f:
+        present = {a["category_id"] for a in _json.load(f)["annotations"]}
+    aps = [scores["per_class"][VOC_CLASSES[c - 1]] for c in present]
+    return float(sum(aps) / max(len(aps), 1))
+
+
+# Delta bands calibrated on the v5e chip with the adversarial synthetic
+# distribution (textured 20-class objects down to 8 px, overlap <= 0.5,
+# gray distractors; 96 train / 24 held-out images at 128^2, 500 epochs).
+# Each band is the calibrated delta plus headroom for run-to-run noise.
+DELTA_BANDS = {
+    "qat_vs_fp32": -0.10,    # QAT W4A8 fine-tune may cost up to 10 AP pts
+    "int8_vs_qat": -0.02,    # real-int8 lowering ~= fake-quant numerics
+    "bf16_vs_fp32": -0.02,   # bf16 eval ~= f32 eval
+    "flip_vs_plain": -0.02,  # flip-test must not hurt
+}
+
+
+def run_deltas(train_images=96, test_images=24, input_res=128,
+               batch_size=16, num_epochs=500, qat_epochs=200, lr=1e-3,
+               data_root=None, seed=0, out_json=None):
+    """Accuracy DELTA harness (VERDICT r2 next-#5): train FP32 on the
+    adversarial synthetic split, then measure held-out AP under
+    fp32 / fp32+flip / bf16 / QAT fake-quant / real-int8 and pin the
+    relative bands (the quantization claims are tested as deltas, not at
+    AP saturation). Emits a JSON the driver can archive."""
+    from synthetic import make_voc_dataset
+
+    data_root = data_root or tempfile.mkdtemp(prefix="synthdelta_")
+    make_voc_dataset(data_root, num_images=train_images, img_w=160,
+                     img_h=120, seed=seed, test_images=test_images,
+                     num_classes=20, min_side=8, max_objects=5,
+                     adversarial=True)
+    common = ["ctdet", "--dataset", "pascal", "--arch", "shufflenetv2",
+              "--input_res", str(input_res), "--data_dir", data_root,
+              "--num_workers", "1", "--seed", str(seed)]
+    trainflags = ["--batch_size", str(batch_size), "--lr", str(lr),
+                  "--no_color_aug", "--save_intervals", "100",
+                  "--val_intervals", "-1"]
+    fp32, qat = "synthdelta_fp32", "synthdelta_qat"
+    fp32_ckpt = os.path.join(REPO, "exp", "ctdet", fp32, "model_last.ckpt")
+    py = [sys.executable]
+    stages = [
+        ("fp32_train", py + ["main.py", *common, *trainflags,
+                             "--exp_id", fp32,
+                             "--num_epochs", str(num_epochs),
+                             "--lr_step", str(int(num_epochs * 0.8))]),
+        ("qat_train", py + ["quant_main.py", *common, *trainflags,
+                            "--exp_id", qat,
+                            "--num_epochs", str(qat_epochs),
+                            "--lr_step", str(int(qat_epochs * 0.8)),
+                            "--load_model", fp32_ckpt, "--wt-percentile"]),
+    ]
+    evals = [
+        ("fp32", py + ["test.py", *common, "--exp_id", fp32, "--resume"]),
+        ("fp32_flip", py + ["test.py", *common, "--exp_id", fp32,
+                            "--resume", "--flip_test"]),
+        ("bf16", py + ["test.py", *common, "--exp_id", fp32, "--resume",
+                       "--dtype", "bfloat16"]),
+        ("qat", py + ["test.py", *common, "--exp_id", qat, "--resume",
+                      "--resume-quantize", "--wt-percentile"]),
+        ("int8", py + ["test.py", *common, "--exp_id", qat, "--resume",
+                       "--resume-quantize", "--wt-percentile",
+                       "--int8_infer"]),
+    ]
+    for name, cmd in stages:
+        print("+", " ".join(cmd), flush=True)
+        if subprocess.call(cmd, cwd=REPO) != 0:
+            raise SystemExit(f"{name} failed")
+    aps = {}
+    for name, cmd in evals:
+        print("+", " ".join(cmd), flush=True)
+        if subprocess.call(cmd, cwd=REPO) != 0:
+            raise SystemExit(f"eval {name} failed")
+        aps[name] = _score(fp32 if "fp32" in name or name == "bf16"
+                           else qat, data_root)
+        print(f"[deltas] {name}: present-class Mean AP {aps[name]:.4f}",
+              flush=True)
+    deltas = {
+        "qat_vs_fp32": aps["qat"] - aps["fp32"],
+        "int8_vs_qat": aps["int8"] - aps["qat"],
+        "bf16_vs_fp32": aps["bf16"] - aps["fp32"],
+        "flip_vs_plain": aps["fp32_flip"] - aps["fp32"],
+    }
+    violations = {k: (d, DELTA_BANDS[k]) for k, d in deltas.items()
+                  if d < DELTA_BANDS[k]}
+    payload = {"aps": aps, "deltas": deltas, "bands": DELTA_BANDS,
+               "violations": {k: v[0] for k, v in violations.items()},
+               "config": {"train_images": train_images,
+                          "test_images": test_images,
+                          "input_res": input_res, "epochs": num_epochs,
+                          "qat_epochs": qat_epochs, "seed": seed,
+                          "adversarial": True}}
+    import json as _json
+    out_json = out_json or os.path.join(REPO, "SYNTH_DELTAS.json")
+    with open(out_json, "w") as f:
+        _json.dump(payload, f, indent=1)
+    print(_json.dumps({"deltas": {k: round(v, 4) for k, v in
+                                  deltas.items()},
+                       "violations": sorted(violations)}))
+    return payload, data_root
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--min_ap", type=float, default=0.50,
@@ -85,9 +196,28 @@ def main(argv=None):
     ap.add_argument("--input_res", type=int, default=128)
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--num_epochs", type=int, default=400)
+    ap.add_argument("--qat_epochs", type=int, default=200)
     ap.add_argument("--num_classes", type=int, default=8)
     ap.add_argument("--keep_data", action="store_true")
+    ap.add_argument("--deltas", action="store_true",
+                    help="run the adversarial-distribution delta harness "
+                         "(fp32/flip/bf16/QAT/int8 bands) instead of the "
+                         "absolute-AP band")
+    ap.add_argument("--out_json", default=None)
     args = ap.parse_args(argv)
+
+    if args.deltas:
+        payload, data_root = run_deltas(
+            max(args.train_images, 96), max(args.test_images, 24),
+            args.input_res, args.batch_size, args.num_epochs,
+            args.qat_epochs, out_json=args.out_json)
+        if not args.keep_data:
+            shutil.rmtree(data_root, ignore_errors=True)
+        if payload["violations"]:
+            print("REGRESSION: delta band violation:",
+                  payload["violations"], file=sys.stderr)
+            return 1
+        return 0
 
     mean_ap, data_root = run(args.train_images, args.test_images,
                              args.input_res, args.batch_size,

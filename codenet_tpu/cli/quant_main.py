@@ -18,7 +18,8 @@ def main(argv=None):
     qspec = QuantSpec(w_bit=opt.w_bit, a_bit=opt.a_bit,
                       wt_mode="symmetric", act_mode="asymmetric",
                       per_channel=True, wt_percentile=opt.wt_percentile,
-                      act_percentile=opt.act_percentile)
+                      act_percentile=opt.act_percentile,
+                      act_clamp=getattr(opt, "act_clamp", False))
     return run_training(opt, qspec=qspec)
 
 

@@ -69,7 +69,12 @@ def prefetch_test(opt):
                                  "merge"]}
     num_iters = len(dataset)
     ind = 0
-    while True:
+    import contextlib
+    from ..utils import profile as _profile
+    tracer = _profile.trace(os.path.join(opt.debug_dir, "trace")) \
+        if getattr(opt, "trace", False) else contextlib.nullcontext()
+    with tracer:
+      while True:
         item = q.get()
         if item is None:
             break

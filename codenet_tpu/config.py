@@ -125,6 +125,12 @@ def build_parser() -> argparse.ArgumentParser:
     # the affine letterbox warp itself on device (warp + normalize + net
     # + decode + backproject in ONE jitted program; the cv2 host warp —
     # reference base_detector.py:48-76 — disappears from the pipeline)
+    # TPU extension: capture a jax.profiler trace of the eval hot loop
+    # into <debug_dir>/trace (view with tensorboard/xprof)
+    p.add_argument("--act_clamp", action="store_true",
+                   help="QAT/eval fake-quant clamps activations to the signed\n                        int8 window (deployment-faithful; the reference does not)")
+    p.add_argument("--trace", action="store_true",
+                   help="capture a jax.profiler trace of the eval loop")
     p.add_argument("--device_warp", action="store_true",
                    help="with --batch_eval: run the letterbox warp on "
                         "device instead of cv2 on host")

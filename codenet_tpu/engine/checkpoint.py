@@ -52,8 +52,12 @@ def save_model(path, epoch, variables, opt_state=None, extra=None):
             lambda a: np.asarray(a) if hasattr(a, "shape") else a, opt_state)
     if extra:
         payload["extra"] = extra
-    with open(path, "wb") as f:
+    # atomic write: a preemption mid-dump must never corrupt model_last
+    # (the resume path's only artifact; the reference overwrites in place)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         pickle.dump(payload, f)
+    os.replace(tmp, path)
 
 
 def _load_torch_payload(path, variables):

@@ -57,7 +57,8 @@ class BaseDetector:
                               per_channel=True,
                               wt_percentile=opt.wt_percentile,
                               act_percentile=opt.act_percentile,
-                              int8_infer=getattr(opt, "int8_infer", False))
+                              int8_infer=getattr(opt, "int8_infer", False),
+                              act_clamp=getattr(opt, "act_clamp", False))
         self.qspec = qspec
         dtype = jnp.bfloat16 if getattr(opt, "dtype", "") == "bfloat16" \
             else None

@@ -67,6 +67,11 @@ class QuantSpec:
     # real-int8 inference lowering: QuantActs emit int8 QTensors and convs
     # run integer MXU matmuls with fused requantization (ops/quant.py)
     int8_infer: bool = False
+    # deployment-faithful fake-quant: clamp activations to the signed
+    # int8 window exactly like the real-int8 path (the reference's
+    # unclamped asymmetric activations have headroom no hardware has;
+    # QAT with act_clamp adapts the net to saturation)
+    act_clamp: bool = False
 
 
 def torch_conv_init(groups=1):
@@ -216,8 +221,101 @@ class QuantAct(nn.Module):
                                        x_max.value)
         xf = x.astype(jnp.float32)
         out = Q.fake_quant_act(xf, self.qspec.a_bit, x_min.value, x_max.value,
-                               self.mode)
+                               self.mode, clamp=self.qspec.act_clamp)
         return out.astype(x.dtype)
+
+
+class QuantLinear(nn.Module):
+    """Quantized linear layer (reference QuantLinear,
+    portable_quantizer/quant_modules.py:23-160) — unused by every CoDeNet
+    detector, ported for inventory completeness with its quirks intact:
+    ranges are per-INPUT-channel (the torch code transposes to dim 1),
+    weight ranges are EMA-tracked across forwards (momentum .99, buffers
+    in 'quant_stats'), optional group quantization pools ranges over
+    `group_number` input-channel groups, and `alpha` blends quantized
+    with full-precision weights."""
+    features: int
+    weight_bit: int = 8
+    quant_mode: str = "symmetric"
+    per_channel: bool = True
+    weight_percentile: bool = False
+    group_quantization: bool = False
+    group_number: int = 60
+    alpha: Optional[float] = None
+    full_precision: bool = False
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, update: bool = True):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", torch_conv_init(),
+                            (1, 1, cin, self.features))
+        w = kernel[0, 0]  # (cin, features); torch weight is (out, in)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,)) \
+            if self.use_bias else None
+
+        # per-input-channel ranges over the OUTPUT axis (the reference's
+        # transpose(0, 1) makes dim-1 = input features the channel axis)
+        if self.per_channel:
+            w_min = jnp.min(w, axis=1)
+            w_max = jnp.max(w, axis=1)
+            if self.weight_percentile and not self.group_quantization:
+                n = w.shape[1]
+                lo = int(round(n * 0.1 * 0.01))
+                hi = int(round(n * 99.9 * 0.01))
+                s = jnp.sort(w, axis=1)
+                if lo >= 1:
+                    w_min = s[:, lo - 1]
+                w_max = s[:, min(hi, n) - 1]
+            if self.group_quantization:
+                g = self.group_number
+                glen = cin // g
+                gm = w_min[:g * glen].reshape(g, glen)
+                gM = w_max[:g * glen].reshape(g, glen)
+                w_min = w_min.at[:g * glen].set(
+                    jnp.repeat(gm.min(axis=1), glen))
+                w_max = w_max.at[:g * glen].set(
+                    jnp.repeat(gM.max(axis=1), glen))
+            shape = (cin,)
+        else:
+            if self.weight_percentile:
+                w_min, w_max = Q.percentile_min_max(w.reshape(-1))
+            else:
+                w_min, w_max = w.min(), w.max()
+            w_min = jnp.reshape(w_min, (1,))
+            w_max = jnp.reshape(w_max, (1,))
+            shape = (1,)
+
+        x_min = self.variable("quant_stats", "x_min",
+                              lambda: jnp.zeros(shape))
+        x_max = self.variable("quant_stats", "x_max",
+                              lambda: jnp.zeros(shape))
+        if update and not self.is_initializing():
+            init = jnp.all(x_min.value == x_max.value)
+            nmin = jnp.where(init, w_min,
+                             0.99 * x_min.value + 0.01 * w_min)
+            nmax = jnp.where(init, w_max,
+                             0.99 * x_max.value + 0.01 * w_max)
+            x_min.value = nmin
+            x_max.value = nmax
+        rmin, rmax = x_min.value, x_max.value
+
+        if not self.full_precision:
+            b = rmin[:, None] if self.per_channel else rmin
+            t = rmax[:, None] if self.per_channel else rmax
+            if self.quant_mode == "symmetric":
+                wq = Q.symmetric_quant(w, self.weight_bit, b, t)
+            else:
+                wq = Q.asymmetric_quant(w, self.weight_bit, b, t,
+                                        clamp=True)
+        else:
+            wq = w
+        if self.alpha is not None:
+            wq = self.alpha * wq + (1.0 - self.alpha) * w
+        y = x @ wq
+        if bias is not None:
+            y = y + bias
+        return y
 
 
 class Conv(nn.Module):

@@ -120,8 +120,55 @@ def _grid_geometry(w_dim, tile, hw_pad):
     return py, px, qy, qx
 
 
+# Banded-B regime: the co-design bounds the sampling displacement to
+# |anchor * (s - 1)| <= 8 px (Hardtanh[-7, 8] on s, anchor in {-1,0,1}),
+# so an output row-tile only ever reads input rows [r0 - 8, r1 + 9] —
+# a ~(tile_rows + 18)-row BAND instead of the whole map. The B matrices
+# shrink from (tile, HW) to (tile, band), cutting both the VPU factor
+# build and the MXU contraction by H/band_rows (~3x on 64x64 maps) and
+# the scoped-VMEM footprint with it. The input is physically padded with
+# _BAND_REACH_B zero rows on top (so the band's dynamic row start is
+# simply r0 * W >= 0) and enough below; out-of-image samples land on
+# those zero rows, reproducing the boundary-zero semantics exactly.
+_BAND_REACH_B = 8    # rows of reach above an output row (floor(p - 8))
+_BAND_REACH_A = 10   # rows below (floor(p + 8) + 1 bilinear corner, +1)
+
+
+def _band_rows(tile, w_dim):
+    """Input rows one output tile can touch (static)."""
+    tile_span = (tile - 1) // w_dim + 2  # rows the tile's outputs span
+    return tile_span + _BAND_REACH_B + _BAND_REACH_A
+
+
+def _use_banding(h, w_dim, tile, dtype):
+    """Banding pays when the band is meaningfully narrower than the map
+    and the dynamic row start is sublane-aligned for the dtype."""
+    sub = 16 if dtype == jnp.bfloat16 else 8
+    return (w_dim % sub == 0) and (_band_rows(tile, w_dim) + 4 < h)
+
+
+def _banded_geometry(w_dim, tile, band_rows):
+    """Output positions + banded q-axis indices for grid step j.
+
+    Returns (py, px, qy, qx, start) where start is the PHYSICAL flat
+    offset of the band in the row-padded input and qy holds REAL image
+    row indices (negative / >= h rows are the physical zero padding)."""
+    j = pl.program_id(1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0) + j * tile
+    py = (pos // w_dim).astype(jnp.float32)
+    px = (pos % w_dim).astype(jnp.float32)
+    r0 = (j * tile) // w_dim
+    band_cols = band_rows * w_dim
+    ql = jax.lax.broadcasted_iota(jnp.int32, (tile, band_cols), 1)
+    qy = (r0 - _BAND_REACH_B) + ql // w_dim   # real row index
+    qx = ql % w_dim
+    # physical band start: real row (r0 - REACH_B) + REACH_B pad rows
+    start = r0 * w_dim
+    return py, px, qy, qx, start
+
+
 def _fwd_kernel(x_ref, s_ref, w_ref, o_ref, *scratch, h, w_dim, tile,
-                img_block, rolled):
+                img_block, rolled, band_rows=0):
     """One (image-block, row-tile) grid step: for each of `img_block`
     images, build the separable per-axis bilinear factors in VMEM, form
     the 9 tap matrices as RY*RX products, and contract with the image's
@@ -132,12 +179,24 @@ def _fwd_kernel(x_ref, s_ref, w_ref, o_ref, *scratch, h, w_dim, tile,
     matrices exceed the 16 MB scoped-VMEM limit when HWpad*4KB is large;
     small maps keep the unrolled loop. Both regimes share the 3 distinct
     per-axis factors across the 9 taps — the rolled loop via VMEM scratch
-    indexed from the fori_loop (6 builds per image instead of 18)."""
-    hw_pad = x_ref.shape[1]
-    py, px, qy, qx = _grid_geometry(w_dim, tile, hw_pad)
+    indexed from the fori_loop (6 builds per image instead of 18).
+
+    band_rows > 0 (rolled only) contracts against the input BAND an
+    output tile can actually reach instead of the whole map (see
+    _banded_geometry) — x_ref is then the row-padded physical map."""
+    if band_rows:
+        py, px, qy, qx, start = _banded_geometry(w_dim, tile, band_rows)
+        q_cols = band_rows * w_dim
+    else:
+        q_cols = x_ref.shape[1]
+        py, px, qy, qx = _grid_geometry(w_dim, tile, q_cols)
+        start = None
 
     for ib in range(img_block):
-        x = x_ref[ib]  # (HWpad, C)
+        if band_rows:
+            x = x_ref[ib, pl.ds(start, q_cols)]  # (band, C)
+        else:
+            x = x_ref[ib]  # (HWpad, C)
         s = s_ref[ib]  # (tile, 1)
         c = x.shape[-1]
         if not rolled:
@@ -184,7 +243,7 @@ def _axis_factor_traced(s, p_axis, q_axis, a):
 
 def _bwd_kernel(x_ref, s_ref, g_ref, w_ref, dx_ref, ds_ref, dw_ref,
                 ry_ref, dry_ref, rx_ref, drx_ref, *,
-                h, w_dim, tile, img_block):
+                h, w_dim, tile, img_block, band_rows=0):
     """Fused backward: accumulate dX over row-tiles (j), dw over the whole
     grid; ds is written per (image, tile). D_t = dB_t/ds via the product
     rule on the separable factors: D_t = dRY[ai]*RX[aj] + RY[ai]*dRX[aj].
@@ -201,9 +260,14 @@ def _bwd_kernel(x_ref, s_ref, g_ref, w_ref, dx_ref, ds_ref, dw_ref,
     (leading-axis ref indexing) — 6 builds instead of 36 per image."""
     i = pl.program_id(0)
     j = pl.program_id(1)
-    hw_pad = x_ref.shape[1]
     c = x_ref.shape[-1]
-    py, px, qy, qx = _grid_geometry(w_dim, tile, hw_pad)
+    if band_rows:
+        py, px, qy, qx, start = _banded_geometry(w_dim, tile, band_rows)
+        q_cols = band_rows * w_dim
+    else:
+        q_cols = x_ref.shape[1]
+        py, px, qy, qx = _grid_geometry(w_dim, tile, q_cols)
+        start = None
 
     @pl.when(j == 0)
     def _init_dx():
@@ -214,7 +278,10 @@ def _bwd_kernel(x_ref, s_ref, g_ref, w_ref, dx_ref, ds_ref, dw_ref,
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
     for ib in range(img_block):
-        x = x_ref[ib]                          # (HWpad, C)
+        if band_rows:
+            x = x_ref[ib, pl.ds(start, q_cols)]  # (band, C)
+        else:
+            x = x_ref[ib]                      # (HWpad, C)
         s = s_ref[ib]                          # (tile, 1)
         g = g_ref[ib].astype(jnp.float32)      # (tile, C)
 
@@ -253,10 +320,13 @@ def _bwd_kernel(x_ref, s_ref, g_ref, w_ref, dx_ref, ds_ref, dw_ref,
         ds_acc, dx_acc, dw_acc = jax.lax.fori_loop(
             0, len(_TAPS), tap_body,
             (jnp.zeros((tile, 1), jnp.float32),
-             jnp.zeros((hw_pad, c), jnp.float32),
+             jnp.zeros((q_cols, c), jnp.float32),
              jnp.zeros((9, c), jnp.float32)))
         ds_ref[ib] = ds_acc
-        dx_ref[ib] += dx_acc.astype(dx_ref.dtype)
+        if band_rows:
+            dx_ref[ib, pl.ds(start, q_cols)] += dx_acc.astype(dx_ref.dtype)
+        else:
+            dx_ref[ib] += dx_acc.astype(dx_ref.dtype)
         dw_ref[...] += dw_acc
 
 
@@ -294,12 +364,13 @@ def _shard3(mesh, batch_axes, *ranks):
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_op(h, w_dim, tile, img_block):
+def _fwd_op(h, w_dim, tile, img_block, band_rows=0):
     from jax.experimental.custom_partitioning import custom_partitioning
 
     def impl(x_flat, s_flat, w_kc):
         return _fwd_pallas_call(x_flat, s_flat, w_kc, h=h, w_dim=w_dim,
-                                tile=tile, img_block=img_block)
+                                tile=tile, img_block=img_block,
+                                band_rows=band_rows)
 
     op = custom_partitioning(impl)
 
@@ -319,24 +390,26 @@ def _fwd_op(h, w_dim, tile, img_block):
             while x_flat.shape[0] % ib != 0:
                 ib //= 2
             return _fwd_pallas_call(x_flat, s_flat, w_kc, h=h, w_dim=w_dim,
-                                    tile=tile, img_block=ib)
+                                    tile=tile, img_block=ib,
+                                    band_rows=band_rows)
 
         return mesh, lower_fn, res, tuple(arg_shardings)
 
     op.def_partition(
         partition=partition,
         infer_sharding_from_operands=infer,
-        sharding_rule="n p c, n p u, k c -> n p c")
+        sharding_rule="n q c, n p u, k c -> n p c")
     return op
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_op(h, w_dim, tile, img_block):
+def _bwd_op(h, w_dim, tile, img_block, band_rows=0):
     from jax.experimental.custom_partitioning import custom_partitioning
 
     def impl(x_flat, s_flat, g_flat, w_kc):
         return _bwd_pallas_call(x_flat, s_flat, g_flat, w_kc, h=h,
-                                w_dim=w_dim, tile=tile, img_block=img_block)
+                                w_dim=w_dim, tile=tile, img_block=img_block,
+                                band_rows=band_rows)
 
     op = custom_partitioning(impl)
 
@@ -359,7 +432,7 @@ def _bwd_op(h, w_dim, tile, img_block):
                 ib //= 2
             ldx, lds, ldw = _bwd_pallas_call(
                 x_flat, s_flat, g_flat, w_kc, h=h, w_dim=w_dim, tile=tile,
-                img_block=ib)
+                img_block=ib, band_rows=band_rows)
             if batch_axes:
                 # dw is a cross-batch reduction; shards hold partial sums
                 ldw = jax.lax.psum(ldw, batch_axes)
@@ -373,7 +446,7 @@ def _bwd_op(h, w_dim, tile, img_block):
     op.def_partition(
         partition=partition,
         infer_sharding_from_operands=infer,
-        sharding_rule="n p c, n p u, n p c, k c -> n p c, n p u, k c")
+        sharding_rule="n q c, n p u, n p c, k c -> n q c, n p u, k c")
     return op
 
 
@@ -408,21 +481,53 @@ def _pad_rows(a, hw, hw_pad):
     return jnp.pad(a, ((0, 0), (0, hw_pad - hw), (0, 0)))
 
 
-def _fwd_pallas_call(x_flat, s_flat, w_kc, *, h, w_dim, tile, img_block):
-    """Raw forward pallas_call on flattened, row-padded (n, HWpad, C)."""
-    n, hw_pad, c = x_flat.shape
-    # the scoped-VMEM driver is the set of (tile, HWpad) tap matrices the
-    # unrolled loop keeps live (~15 x tile*HWpad*4B incl. shared factors);
-    # beyond HWpad=1024 that approaches the 16 MB limit, so roll the loop
-    rolled = hw_pad > 1024
+def _band_safe_s(s):
+    """The banded kernels only read rows within the co-design reach
+    (|anchor*(s-1)| <= 8, from the module's Hardtanh[-7, 8]); clamp s so
+    out-of-contract callers degrade to clamped sampling instead of
+    silently-truncated reads (gradient beyond the clamp is 0, exactly the
+    Hardtanh behavior)."""
+    return jnp.clip(s, -7.0, 9.0)
+
+
+def _pad_rows_banded(a, h, w_dim, out_pad, tile, band_rows):
+    """Physically row-pad (n, hw, c) for the banded kernels: _BAND_REACH_B
+    zero rows before, and after-padding sized so the LAST tile's band
+    slice [r0*W, r0*W + band*W) stays inside the array."""
+    n, hw, c = a.shape
+    before = _BAND_REACH_B * w_dim
+    r0_max = ((out_pad // tile - 1) * tile) // w_dim
+    phys = max(before + hw + _BAND_REACH_A * w_dim,
+               r0_max * w_dim + band_rows * w_dim)
+    return jnp.pad(a, ((0, 0), (before, phys - before - hw), (0, 0)))
+
+
+def _unpad_rows_banded(a, hw, w_dim):
+    start = _BAND_REACH_B * w_dim
+    return a[:, start:start + hw]
+
+
+def _fwd_pallas_call(x_flat, s_flat, w_kc, *, h, w_dim, tile, img_block,
+                     band_rows=0):
+    """Raw forward pallas_call. x_flat: (n, X, C) where X = out-padded
+    positions (band_rows == 0) or the physically row-padded map
+    (band_rows > 0); s_flat: (n, OUTpad, 1) sets the output grid."""
+    n, x_cols, c = x_flat.shape
+    out_pad = s_flat.shape[1]
+    q_cols = band_rows * w_dim if band_rows else x_cols
+    # the scoped-VMEM driver is the set of (tile, q_cols) tap matrices the
+    # unrolled loop keeps live (~15 x tile*q_cols*4B incl. shared factors);
+    # beyond q_cols=1024 that approaches the 16 MB limit, so roll the loop
+    rolled = q_cols > 1024 or band_rows > 0
     kernel = functools.partial(_fwd_kernel, h=h, w_dim=w_dim, tile=tile,
-                               img_block=img_block, rolled=rolled)
+                               img_block=img_block, rolled=rolled,
+                               band_rows=band_rows)
     return pl.pallas_call(
         kernel,
         interpret=_interpret(),
-        grid=(n // img_block, hw_pad // tile),
+        grid=(n // img_block, out_pad // tile),
         in_specs=[
-            pl.BlockSpec((img_block, hw_pad, c), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((img_block, x_cols, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((img_block, tile, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -431,8 +536,8 @@ def _fwd_pallas_call(x_flat, s_flat, w_kc, *, h, w_dim, tile, img_block):
         ],
         out_specs=pl.BlockSpec((img_block, tile, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, hw_pad, c), x_flat.dtype),
-        scratch_shapes=([pltpu.VMEM((3, tile, hw_pad), jnp.float32)
+        out_shape=jax.ShapeDtypeStruct((n, out_pad, c), x_flat.dtype),
+        scratch_shapes=([pltpu.VMEM((3, tile, q_cols), jnp.float32)
                          for _ in range(2)] if rolled else []),
     )(x_flat, s_flat, w_kc)
 
@@ -440,34 +545,56 @@ def _fwd_pallas_call(x_flat, s_flat, w_kc, *, h, w_dim, tile, img_block):
 def _forward_pallas(x, s, weight_kc, img_block=8):
     n, h, w_dim, c, hw, hw_pad, tile, img_block = _plan(
         x, img_block, 2 * 1024 * 1024)
+    band_rows = 0
     if hw_pad > 1024:
-        # rolled-loop regime: f32 factor/B temporaries + the 6 shared-
-        # factor scratch matrices dominate scoped VMEM (~10 x
-        # tile*HWpad*4B live); replan with an f32-basis image block and
-        # a tile budget that keeps that under the 16 MB limit (verified
-        # on v5e: tile 128 @ HWpad 4096 OOM'd by 48 KB with a 2 MB
-        # budget once scratch landed)
-        n, h, w_dim, c, hw, hw_pad, tile, img_block = _plan(
-            x, img_block, 1024 * 1024, tile_budget_bytes=1024 * 1024,
-            assume_f32=True)
-    x_flat = _pad_rows(x.reshape(n, hw, c), hw, hw_pad)
+        if _use_banding(h, w_dim, min(hw, 128), x.dtype):
+            # banded regime: B shrinks to (tile, band) — replan with the
+            # band as the scoped-VMEM unit
+            n, h, w_dim, c, hw, hw_pad, tile, img_block = _plan(
+                x, img_block, 1024 * 1024,
+                tile_budget_bytes=None, assume_f32=True)
+            tile = _banded_tile(h, w_dim, hw, 1024 * 1024)
+            hw_pad = -(-hw // tile) * tile
+            band_rows = _band_rows(tile, w_dim)
+        else:
+            # rolled-loop regime: f32 factor/B temporaries + the 6 shared-
+            # factor scratch matrices dominate scoped VMEM (~10 x
+            # tile*HWpad*4B live); replan with an f32-basis image block and
+            # a tile budget that keeps that under the 16 MB limit (verified
+            # on v5e: tile 128 @ HWpad 4096 OOM'd by 48 KB with a 2 MB
+            # budget once scratch landed)
+            n, h, w_dim, c, hw, hw_pad, tile, img_block = _plan(
+                x, img_block, 1024 * 1024, tile_budget_bytes=1024 * 1024,
+                assume_f32=True)
+    if band_rows:
+        s = _band_safe_s(s)
     s_flat = _pad_rows(s.astype(jnp.float32).reshape(n, hw, 1), hw, hw_pad)
-    out = _fwd_op(h, w_dim, tile, img_block)(x_flat, s_flat, weight_kc)
+    if band_rows:
+        x_flat = _pad_rows_banded(x.reshape(n, hw, c), h, w_dim, hw_pad,
+                                  tile, band_rows)
+    else:
+        x_flat = _pad_rows(x.reshape(n, hw, c), hw, hw_pad)
+    out = _fwd_op(h, w_dim, tile, img_block, band_rows)(
+        x_flat, s_flat, weight_kc)
     return out[:, :hw].reshape(n, h, w_dim, c)
 
 
 def _bwd_pallas_call(x_flat, s_flat, g_flat, w_kc, *, h, w_dim, tile,
-                     img_block):
-    """Raw backward pallas_call on flattened, row-padded (n, HWpad, C)."""
-    n, hw_pad, c = x_flat.shape
+                     img_block, band_rows=0):
+    """Raw backward pallas_call. x_flat (and the dx output): (n, X, C)
+    with X = out-padded positions, or the physically row-padded map when
+    band_rows > 0; s/g set the output grid."""
+    n, x_cols, c = x_flat.shape
+    out_pad = s_flat.shape[1]
+    q_cols = band_rows * w_dim if band_rows else x_cols
     kernel = functools.partial(_bwd_kernel, h=h, w_dim=w_dim, tile=tile,
-                               img_block=img_block)
+                               img_block=img_block, band_rows=band_rows)
     return pl.pallas_call(
         kernel,
         interpret=_interpret(),
-        grid=(n // img_block, hw_pad // tile),
+        grid=(n // img_block, out_pad // tile),
         in_specs=[
-            pl.BlockSpec((img_block, hw_pad, c), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((img_block, x_cols, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((img_block, tile, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -477,7 +604,7 @@ def _bwd_pallas_call(x_flat, s_flat, g_flat, w_kc, *, h, w_dim, tile,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((img_block, hw_pad, c), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((img_block, x_cols, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((img_block, tile, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -485,25 +612,53 @@ def _bwd_pallas_call(x_flat, s_flat, g_flat, w_kc, *, h, w_dim, tile,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, hw_pad, c), jnp.float32),
-            jax.ShapeDtypeStruct((n, hw_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n, x_cols, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, out_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((9, c), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((3, tile, hw_pad), jnp.float32)
+        scratch_shapes=[pltpu.VMEM((3, tile, q_cols), jnp.float32)
                         for _ in range(4)],
     )(x_flat, s_flat, g_flat, w_kc)
+
+
+def _banded_tile(h, w_dim, hw, budget_bytes):
+    """Largest power-of-2 row tile whose (tile, band) matrix fits the
+    scoped-VMEM unit budget (banding decouples the tile from the full
+    map width, so big maps keep big tiles)."""
+    tile = min(hw, 128)
+    while tile > 16:
+        band_cols = _band_rows(tile, w_dim) * w_dim
+        if tile * band_cols * 4 <= budget_bytes:
+            return tile
+        tile //= 2
+    return tile
 
 
 def _backward_pallas(x, s, weight_kc, g, img_block=8):
     n, h, w_dim, c, hw, hw_pad, tile, img_block = _plan(
         x, img_block, 1024 * 1024, tile_budget_bytes=512 * 1024,
         assume_f32=True)
-    x_flat = _pad_rows(x.reshape(n, hw, c), hw, hw_pad)
+    band_rows = 0
+    if _use_banding(h, w_dim, min(hw, 128), x.dtype):
+        # re-plan the tile against the BAND (not the full map): the band
+        # is the matrix the kernel actually builds/contracts
+        tile = _banded_tile(h, w_dim, hw, 512 * 1024)
+        hw_pad = -(-hw // tile) * tile
+        band_rows = _band_rows(tile, w_dim)
+        s = _band_safe_s(s)
     s_flat = _pad_rows(s.astype(jnp.float32).reshape(n, hw, 1), hw, hw_pad)
     g_flat = _pad_rows(g.reshape(n, hw, c), hw, hw_pad)
-    dx, ds, dw = _bwd_op(h, w_dim, tile, img_block)(
+    if band_rows:
+        x_flat = _pad_rows_banded(x.reshape(n, hw, c), h, w_dim, hw_pad,
+                                  tile, band_rows)
+    else:
+        x_flat = _pad_rows(x.reshape(n, hw, c), hw, hw_pad)
+    dx, ds, dw = _bwd_op(h, w_dim, tile, img_block, band_rows)(
         x_flat, s_flat, g_flat, weight_kc)
-    dx = dx[:, :hw].reshape(n, h, w_dim, c)
+    if band_rows:
+        dx = _unpad_rows_banded(dx, hw, w_dim).reshape(n, h, w_dim, c)
+    else:
+        dx = dx[:, :hw].reshape(n, h, w_dim, c)
     ds = ds[:, :hw].reshape(n, h, w_dim, 1)
     return dx, ds, dw
 
@@ -525,15 +680,19 @@ def _fwd(x, s, weight):
 
 
 # Largest flattened map the fused backward kernel fits in scoped VMEM
-# (verified on v5e: 48x48 maps pass at tile 32; 64x64 exceeds the 16 MB
-# limit by ~0.7 MB). Beyond it — only the final deconv stage of 512-input
-# configs — the backward recomputes through the XLA gather formulation.
+# WITHOUT banding (verified on v5e: 48x48 maps pass at tile 32; 64x64
+# exceeded the 16 MB limit pre-banding). The banded regime (w % 8 == 0
+# maps — every CoDeNet shape) keeps B at (tile, ~20 rows), so no size
+# limit applies there; only banding-ineligible large maps fall back to
+# the XLA gather formulation.
 _BWD_MAX_HW = 2304
 
 
 def _bwd(res, g):
     x, s, weight = res
-    if x.shape[1] * x.shape[2] > _BWD_MAX_HW:
+    h, w_dim = x.shape[1], x.shape[2]
+    if (h * w_dim > _BWD_MAX_HW
+            and not _use_banding(h, w_dim, min(h * w_dim, 128), x.dtype)):
         _, vjp = jax.vjp(lambda x_, s_, w_: _xla_impl(x_, s_, w_),
                          x, s, weight)
         return vjp(g)

@@ -87,12 +87,14 @@ def symmetric_quant(x, k, x_min, x_max):
     return _ste(x, dq)
 
 
-def asymmetric_quant(x, k, x_min, x_max, clamp=False):
+def asymmetric_quant(x, k, x_min, x_max, clamp=False, signed_window=False):
     """AsymmetricQuantFunction (quant_utils.py:170-198). STE backward.
 
     The reference clamps to [0, 2^k - 1] only in per-channel mode; the
     activation path (per_channel=False) does not clamp — pass clamp=False to
-    match it.
+    match it. signed_window=True clamps to the SIGNED int8 storage window
+    [-2^(k-1), 2^(k-1)-1] instead (the window quantize_act_int8 stores in
+    — deployment-faithful QAT).
     """
     n = 2 ** k - 1
     scale = n / jnp.clip(x_max - x_min, 1e-10, None)
@@ -100,7 +102,10 @@ def asymmetric_quant(x, k, x_min, x_max, clamp=False):
     zero_point = zero_point + 2 ** (k - 1)  # signed shift (quant_utils.py:71-72)
     q = jnp.round(scale * x - zero_point)
     if clamp:
-        q = jnp.clip(q, 0, n)
+        if signed_window:
+            q = jnp.clip(q, -(2 ** (k - 1)), 2 ** (k - 1) - 1)
+        else:
+            q = jnp.clip(q, 0, n)
     dq = (q + zero_point) / scale
     return _ste(x, dq)
 
@@ -130,10 +135,18 @@ def fake_quant_weight(w_hwio, k, mode="symmetric", per_channel=True,
     return asymmetric_quant(w_hwio, k, w_min, w_max, clamp=True)
 
 
-def fake_quant_act(x, k, x_min, x_max, mode="asymmetric"):
-    """Fake-quantize activations with scalar range state."""
+def fake_quant_act(x, k, x_min, x_max, mode="asymmetric", clamp=False):
+    """Fake-quantize activations with scalar range state.
+
+    clamp=False reproduces the reference quirk (asymmetric activations
+    are NOT clamped to the representable window, quant_utils.py:191-198)
+    — values outside the EMA range keep extra linear headroom that no
+    int8 hardware has. clamp=True is the deployment-faithful variant
+    (matches quantize_act_int8 exactly): QAT trained with it adapts to
+    saturation, closing the fake-vs-real-int8 AP gap."""
     if mode == "asymmetric":
-        return asymmetric_quant(x, k, x_min, x_max, clamp=False)
+        return asymmetric_quant(x, k, x_min, x_max, clamp=clamp,
+                                signed_window=clamp)
     return symmetric_quant(x, k, x_min, x_max)
 
 

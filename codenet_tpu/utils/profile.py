@@ -32,6 +32,38 @@ def count_flops(fn, *args):
         return None
 
 
+class trace:
+    """Context manager around jax.profiler.trace — capture an XLA/TensorBoard
+    trace of whatever runs inside (the observability upgrade over the
+    reference's wall-clock stage timers, base_detector.py:109-148).
+
+        with profile.trace("exp/ctdet/run/trace"):
+            detector.run(img)
+
+    View with `tensorboard --logdir <dir>` or xprof. Degrades to a no-op
+    when the backend can't trace (e.g. remote-compile TPU paths)."""
+
+    def __init__(self, log_dir):
+        self.log_dir = log_dir
+        self._active = False
+
+    def __enter__(self):
+        try:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        except Exception as e:  # pragma: no cover
+            print(f"[profile] trace unavailable: {e}")
+        return self
+
+    def __exit__(self, *exc):
+        if self._active:
+            try:
+                jax.profiler.stop_trace()
+            except Exception as e:  # pragma: no cover
+                print(f"[profile] stop_trace failed: {e}")
+        return False
+
+
 def profile_model(model, input_shape=(1, 512, 512, 3), variables=None):
     """Print MACs + params like the reference (MACs ~= flops / 2)."""
     x = jnp.zeros(input_shape, jnp.float32)

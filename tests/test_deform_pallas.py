@@ -140,3 +140,54 @@ def test_sharded_custom_partitioning(monkeypatch):
                                    rtol=5e-3, atol=5e-3, err_msg=name)
     assert g[0].sharding.spec == P("data")
     assert g[2].sharding.is_fully_replicated
+
+
+@pytest.mark.parametrize("shape", [(64, 64, 8), (40, 40, 8)])
+def test_pallas_banded_matches_xla(shape):
+    """Banded-B regime (maps where the +-8px co-design reach covers only
+    a fraction of the rows): fwd AND bwd vs the XLA formulation. 64x64 is
+    the 512-config deconv map that previously OOM'd / fell back."""
+    x, s, w = _case(shape, seed=3)
+    h, w_dim = shape[0], shape[1]
+    from codenet_tpu.ops.deform_pallas import _band_rows, _use_banding
+    assert _use_banding(h, w_dim, 128, x.dtype), "banding must engage"
+
+    a = np.asarray(codesign_deform_conv(x, s, w,
+                                        precision=jax.lax.Precision.HIGHEST))
+    b = np.asarray(DP.codesign_deform_conv_fast(x, s, w))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+    import codenet_tpu.ops.deform_pallas as dp
+    old = dp._BWD_MAX_HW
+    dp._BWD_MAX_HW = 4096
+    try:
+        def f_fast(x, s, w):
+            return jnp.sum(jnp.sin(DP.codesign_deform_conv_fast(x, s, w)))
+
+        def f_xla(x, s, w):
+            return jnp.sum(jnp.sin(codesign_deform_conv(x, s, w)))
+
+        g_fast = jax.grad(f_fast, argnums=(0, 1, 2))(x, s, w)
+        g_xla = jax.grad(f_xla, argnums=(0, 1, 2))(x, s, w)
+        for name, ga, gb in zip(("dx", "ds", "dw"), g_fast, g_xla):
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                       rtol=5e-3, atol=5e-3, err_msg=name)
+    finally:
+        dp._BWD_MAX_HW = old
+
+
+def test_pallas_banded_extreme_scales_at_borders():
+    """Banding relies on the Hardtanh reach bound: s at the clamp limits
+    (-7 and 8 => displacement +-8..9 px incl. the bilinear corner) and
+    objects at the map borders must still match the XLA formulation."""
+    H, W, C = 48, 48, 4
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, H, W, C).astype(np.float32))
+    s_np = np.full((2, H, W, 1), -7.0, np.float32)
+    s_np[0] = 8.0  # max positive scale everywhere
+    s = jnp.asarray(s_np)
+    w = jnp.asarray((rng.randn(3, 3, 1, C) * 0.2).astype(np.float32))
+    a = np.asarray(codesign_deform_conv(x, s, w,
+                                        precision=jax.lax.Precision.HIGHEST))
+    b = np.asarray(DP.codesign_deform_conv_fast(x, s, w))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)

@@ -205,3 +205,18 @@ def test_val_returns_decoded_results_for_map(voc_root):
     os.makedirs(out, exist_ok=True)
     ds.run_eval(results, out)
     assert os.path.exists(os.path.join(out, "results.json"))
+
+
+def test_eval_trace_capture(voc_root, tmp_path):
+    """--trace captures a jax.profiler trace of the eval loop."""
+    opt = _opt(voc_root, "--trace")
+    opt.save_dir = str(tmp_path)
+    opt.debug_dir = str(tmp_path)
+    from codenet_tpu.cli.test import prefetch_test
+    prefetch_test(opt)
+    trace_dir = os.path.join(str(tmp_path), "trace")
+    assert os.path.isdir(trace_dir)
+    found = []
+    for root, _, files in os.walk(trace_dir):
+        found += files
+    assert found, "no trace files written"

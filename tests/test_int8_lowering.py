@@ -78,3 +78,21 @@ def test_full_model_int8_close_to_fake_quant():
     # identical up to fake-path float accumulation + range clamping
     denom = np.abs(a).max() + 1e-6
     assert np.abs(a - b).max() / denom < 2e-2, np.abs(a - b).max()
+
+
+def test_act_clamp_fake_matches_int8_exactly():
+    """--act_clamp fake-quant == real-int8 storage semantics INCLUDING
+    out-of-EMA-range activations (the unclamped reference quirk is the
+    source of the fake-vs-int8 AP gap measured by the delta harness)."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray((rng.randn(256) * 4).astype(np.float32))  # heavy tails
+    x_min, x_max = jnp.asarray([-1.5]), jnp.asarray([2.5])
+    clamped = np.asarray(Q.fake_quant_act(x, 8, x_min, x_max,
+                                          "asymmetric", clamp=True))
+    qt = Q.quantize_act_int8(x, 8, x_min, x_max)
+    np.testing.assert_allclose(clamped, np.asarray(qt.dequant()),
+                               rtol=1e-6, atol=1e-6)
+    # and plenty of inputs actually hit the clamp in this fixture
+    unclamped = np.asarray(Q.fake_quant_act(x, 8, x_min, x_max,
+                                            "asymmetric", clamp=False))
+    assert (np.abs(unclamped - clamped) > 1e-6).sum() > 10

@@ -194,3 +194,88 @@ def test_weight_percentile_matches_reference(ref_modules):
     got_min, got_max = Q.weight_channel_min_max(flat, percentile=True)
     np.testing.assert_allclose(np.asarray(got_min), ref_min, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_max), ref_max, atol=1e-6)
+
+
+def test_quant_linear_matches_reference():
+    """QuantLinear (reference quant_modules.py:23-160) — the reference
+    module is DEAD CODE that cannot run: linear_quantize views the scale
+    as (-1,1,1,1) (quant_utils.py:32), turning the 2D linear weight 4D,
+    so F.linear raises for every mode. Pin that fact, then validate our
+    port against a numpy emulation of the documented semantics
+    (per-INPUT-channel symmetric ranges, EMA momentum .99, STE)."""
+    import types
+    if "pytorchcv" not in sys.modules:
+        def mod(name, **attrs):
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[name] = m
+            return m
+
+        pcv = mod("pytorchcv")
+        pcv.models = mod("pytorchcv.models")
+        pcv.models.shufflenetv2 = mod("pytorchcv.models.shufflenetv2",
+                                      ShuffleUnit=type("ShuffleUnit", (),
+                                                       {}))
+        pcv.models.common = mod("pytorchcv.models.common",
+                                ChannelShuffle=type("ChannelShuffle", (),
+                                                    {}))
+        pcv.model_provider = mod("pytorchcv.model_provider",
+                                 get_model=lambda *a, **k: None)
+        ext = mod("_ext")
+        ext.dcn = mod("_ext.dcn", dcn_deform_conv_cuda=object())
+        mod("thop", profile=lambda *a, **k: (0, 0))
+    sys.path.insert(0, REF)
+    try:
+        from portable_quantizer.quant_modules import QuantLinear as RefQL
+    finally:
+        sys.path.pop(0)
+    from codenet_tpu.models.layers import QuantLinear
+
+    rng = np.random.RandomState(0)
+    cin, cout = 16, 8
+    w = rng.randn(cout, cin).astype(np.float32) * 0.3
+    b = rng.randn(cout).astype(np.float32) * 0.1
+    x = rng.randn(4, cin).astype(np.float32)
+
+    # 1) the reference module raises on every configuration
+    for per_channel in (True, False):
+        ref = RefQL(4, cin, cout, quant_mode="symmetric",
+                    per_channel=per_channel)
+        with torch.no_grad():
+            ref.weight.copy_(torch.from_numpy(w))
+            ref.bias.copy_(torch.from_numpy(b))
+        with pytest.raises(RuntimeError):
+            ref(torch.from_numpy(x))
+
+    # 2) our port computes the documented math (per-input-channel
+    # symmetric 4-bit ranges from the torch-layout transpose, EMA'd)
+    ours = QuantLinear(cout, weight_bit=4, quant_mode="symmetric",
+                       per_channel=True)
+    variables = {"params": {"kernel": jnp.asarray(w.T[None, None]),
+                            "bias": jnp.asarray(b)},
+                 "quant_stats": {"x_min": jnp.zeros(cin),
+                                 "x_max": jnp.zeros(cin)}}
+    got, upd = ours.apply(variables, jnp.asarray(x),
+                          mutable=["quant_stats"])
+
+    wt = w.T  # (cin, cout): per-input-channel rows
+    w_min = wt.min(axis=1)
+    w_max = wt.max(axis=1)
+    # first forward: EMA init adopts the batch range exactly
+    np.testing.assert_allclose(np.asarray(upd["quant_stats"]["x_min"]),
+                               w_min, rtol=1e-6)
+    mag = np.maximum(np.abs(w_min), np.abs(w_max))
+    scale = (2 ** 3 - 1) / np.clip(mag, 1e-10, None)
+    wq = np.clip(np.round(wt * scale[:, None]), -8, 7) / scale[:, None]
+    want = x @ wq + b
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                               atol=1e-5)
+
+    # 3) EMA moves on the second forward
+    variables = {"params": variables["params"], **upd}
+    _, upd2 = ours.apply(variables, jnp.asarray(x),
+                         mutable=["quant_stats"])
+    np.testing.assert_allclose(
+        np.asarray(upd2["quant_stats"]["x_min"]),
+        0.99 * w_min + 0.01 * w_min, rtol=1e-6)

@@ -90,13 +90,20 @@ def _score(exp_id, data_root):
 
 # Delta bands calibrated on the v5e chip with the adversarial synthetic
 # distribution (textured 20-class objects down to 8 px, overlap <= 0.5,
-# gray distractors; 96 train / 24 held-out images at 128^2, 500 epochs).
-# Each band is the calibrated delta plus headroom for run-to-run noise.
+# gray distractors; 96 train / 24 held-out images at 128^2, 400+200
+# epochs). v5e calibration (seed 0): fp32 0.383, flip +0.026, bf16
+# +0.000, qat +0.118 (fine-tune keeps training), int8 -0.078 vs qat.
+# The int8-vs-fake gap is NOT a lowering bug: real int8 must clamp
+# activations to the signed window while the reference's fake-quant
+# quirkily does not (quant_utils.py:191-198) — `qat_clamped` evaluates
+# the SAME checkpoint with deployment-faithful clamped fake-quant, and
+# int8 must match THAT tightly. Each band adds noise headroom.
 DELTA_BANDS = {
-    "qat_vs_fp32": -0.10,    # QAT W4A8 fine-tune may cost up to 10 AP pts
-    "int8_vs_qat": -0.02,    # real-int8 lowering ~= fake-quant numerics
-    "bf16_vs_fp32": -0.02,   # bf16 eval ~= f32 eval
-    "flip_vs_plain": -0.02,  # flip-test must not hurt
+    "qat_vs_fp32": -0.10,        # QAT W4A8 fine-tune cost bound
+    "int8_vs_clamped": -0.03,    # int8 == clamped fake-quant numerics
+    "int8_vs_qat": -0.15,        # informational: includes the clamp cost
+    "bf16_vs_fp32": -0.02,       # bf16 eval ~= f32 eval
+    "flip_vs_plain": -0.02,      # flip-test must not hurt
 }
 
 
@@ -143,6 +150,9 @@ def run_deltas(train_images=96, test_images=24, input_res=128,
                        "--dtype", "bfloat16"]),
         ("qat", py + ["test.py", *common, "--exp_id", qat, "--resume",
                       "--resume-quantize", "--wt-percentile"]),
+        ("qat_clamped", py + ["test.py", *common, "--exp_id", qat,
+                              "--resume", "--resume-quantize",
+                              "--wt-percentile", "--act_clamp"]),
         ("int8", py + ["test.py", *common, "--exp_id", qat, "--resume",
                        "--resume-quantize", "--wt-percentile",
                        "--int8_infer"]),
@@ -162,6 +172,7 @@ def run_deltas(train_images=96, test_images=24, input_res=128,
               flush=True)
     deltas = {
         "qat_vs_fp32": aps["qat"] - aps["fp32"],
+        "int8_vs_clamped": aps["int8"] - aps["qat_clamped"],
         "int8_vs_qat": aps["int8"] - aps["qat"],
         "bf16_vs_fp32": aps["bf16"] - aps["fp32"],
         "flip_vs_plain": aps["fp32_flip"] - aps["fp32"],

@@ -152,19 +152,18 @@ def bench_e2e(n_images=256, batch=64, input_res=256, device_warp=True,
     make_voc_dataset(root, num_images=4, img_w=img_w, img_h=img_h,
                      test_images=n_images)
 
-    def run_once(exp_id):
-        args = (f"ctdet --dataset pascal --arch shufflenetv2 "
-                f"--input_res {input_res} --batch_eval {batch} "
-                f"--num_workers 8 --exp_id {exp_id}"
-                + (" --device_warp" if device_warp else "")).split()
-        opt = cfg.parse(args)
-        opt.data_dir = root
-        t0 = time.perf_counter()
-        batched_test(opt)
-        return n_images / (time.perf_counter() - t0)
-
-    run_once("bench_e2e_warm")      # compile + cache warm
-    ips = run_once("bench_e2e")     # steady state
+    args = (f"ctdet --dataset pascal --arch shufflenetv2 "
+            f"--input_res {input_res} --batch_eval {batch} "
+            f"--num_workers 8 --exp_id bench_e2e"
+            + (" --device_warp" if device_warp else "")).split()
+    opt = cfg.parse(args)
+    opt.data_dir = root
+    # pass 1 pays the one-time jit; pass 2 is the steady state a real
+    # (COCO-scale) eval runs at — report that. Re-creating the detector
+    # per run would re-jit and time mostly the compile server.
+    opt._bench_passes = 2
+    batched_test(opt)
+    ips = n_images / opt._bench_pass_times[-1]
     import shutil
     shutil.rmtree(root, ignore_errors=True)
     return ips

@@ -56,7 +56,17 @@ def run_training(opt, qspec=None, load_fp32_then_quantize=False):
     best = 1e10
     save_dir = opt.save_dir
     os.makedirs(save_dir, exist_ok=True)
-    for epoch in range(start_epoch + 1, opt.num_epochs + 1):
+    if getattr(opt, "trace", False):
+        # --trace: jax.profiler capture of the train hot loop (view in
+        # tensorboard/xprof) — the observability upgrade over the
+        # reference's data/net wall-clock bar (base_trainer.py:56-87)
+        from ..utils import profile as _profile
+        tracer = _profile.trace(os.path.join(opt.debug_dir, "trace"))
+    else:
+        import contextlib
+        tracer = contextlib.nullcontext()
+    with tracer:
+      for epoch in range(start_epoch + 1, opt.num_epochs + 1):
         # reference main.py:69 — --save_all checkpoints every epoch as
         # model_<epoch> instead of rolling model_last
         mark = str(epoch) if getattr(opt, "save_all", False) else "last"

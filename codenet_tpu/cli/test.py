@@ -156,10 +156,22 @@ def batched_test(opt):
     print(opt.heads)
     split = "val" if not opt.trainval else "test"
     dataset = Dataset(opt, split)
+    device_warp = getattr(opt, "device_warp", False)
+    if device_warp and not getattr(opt, "_device_warp_hw", None):
+        # derive a tight rectangular raw buffer from dataset metadata:
+        # every padded byte ships host->device, so the square
+        # --device_warp_max_res default (768^2 = 1.77 MB/frame) triples
+        # the transfer for e.g. VOC's 500x375 frames (384x512 = 0.59 MB)
+        infos = dataset.coco.loadImgs(ids=list(dataset.images))
+        cap = getattr(opt, "device_warp_max_res", 768)
+
+        def _round(v):
+            return min(-(-v // 64) * 64, cap)
+
+        opt._device_warp_hw = (_round(max(i["height"] for i in infos)),
+                               _round(max(i["width"] for i in infos)))
     detector = detector_factory(opt.task)(opt)
     bs = opt.batch_eval
-
-    device_warp = getattr(opt, "device_warp", False)
 
     def load_one(ind):
         img_id = dataset.images[ind]
@@ -200,6 +212,22 @@ def batched_test(opt):
         chunks = {"host": [], "raw": []}
         done = 0
 
+        # one-deep pipeline: hand a batch to the device and convert the
+        # PREVIOUS batch's detections while it runs — jax dispatch is
+        # async, so the host->device transfer and the network overlap
+        # with the host-side bucketing + the next chunk's image loads
+        # (the device round-trip is transfer-dominated over a thin link)
+        from collections import deque
+        inflight = deque()
+
+        def drain(force=False):
+            while inflight and (force or len(inflight) > 1):
+                ids, dev = inflight.popleft()
+                dets = np.asarray(dev)
+                for i, img_id in enumerate(ids):
+                    per = detector.post_process(dets[i], None)
+                    results[img_id] = detector.merge_outputs([per])
+
         def run_chunk_host(chunk):
             ids = [c[1] for c in chunk]
             # pad to the static batch size with the last sample
@@ -212,10 +240,8 @@ def batched_test(opt):
             else:
                 stack = np.concatenate(per_img, axis=0)
             tis = np.stack([c[3]["trans_inv"] for c in padded], axis=0)
-            dets = np.asarray(detector.process_batch(stack, tis))
-            for i, img_id in enumerate(ids):
-                per = detector.post_process(dets[i], None)
-                results[img_id] = detector.merge_outputs([per])
+            inflight.append((ids, detector.process_batch(stack, tis)))
+            drain()
 
         def run_chunk_raw(chunk):
             ids = [c[1] for c in chunk]
@@ -223,31 +249,43 @@ def batched_test(opt):
             raw = np.stack([c[2] for c in padded], axis=0)
             wtis = np.stack([c[3] for c in padded], axis=0)
             tis = np.stack([c[4] for c in padded], axis=0)
-            dets = np.asarray(detector.process_batch_raw(raw, wtis, tis))
-            for i, img_id in enumerate(ids):
-                per = detector.post_process(dets[i], None)
-                results[img_id] = detector.merge_outputs([per])
+            inflight.append(
+                (ids, detector.process_batch_raw(raw, wtis, tis)))
+            drain()
 
         runners = {"host": run_chunk_host, "raw": run_chunk_raw}
 
         import time as _time
-        t0 = _time.time()
-        for item in loaded:
-            kind = item[0]
-            chunks[kind].append(item)
-            if len(chunks[kind]) == bs:
-                runners[kind](chunks[kind])
-                done += bs
-                chunks[kind] = []
-                if done % (bs * 10) == 0:
-                    print("[{}/{}] {:.1f} img/s".format(
-                        done, n, done / (_time.time() - t0)))
-        for kind, chunk in chunks.items():
-            if chunk:
-                runners[kind](chunk)
-                done += len(chunk)
-        print("batched eval: {} images in {:.1f}s".format(
-            done, _time.time() - t0))
+        # _bench_passes > 1 (bench.py hook): repeat the full load+eval
+        # sweep; pass 1 carries the one-time jit, later passes measure
+        # the steady state a long eval (COCO-scale) actually runs at.
+        passes = max(1, int(getattr(opt, "_bench_passes", 1)))
+        pass_times = []
+        for pass_i in range(passes):
+            if pass_i:
+                loaded = loaded_iter()
+                chunks = {"host": [], "raw": []}
+                done = 0
+            t0 = _time.time()
+            for item in loaded:
+                kind = item[0]
+                chunks[kind].append(item)
+                if len(chunks[kind]) == bs:
+                    runners[kind](chunks[kind])
+                    done += bs
+                    chunks[kind] = []
+                    if done % (bs * 10) == 0:
+                        print("[{}/{}] {:.1f} img/s".format(
+                            done, n, done / (_time.time() - t0)))
+            for kind, chunk in chunks.items():
+                if chunk:
+                    runners[kind](chunk)
+                    done += len(chunk)
+            drain(force=True)
+            pass_times.append(_time.time() - t0)
+            print("batched eval: {} images in {:.1f}s".format(
+                done, pass_times[-1]))
+        opt._bench_pass_times = pass_times
     os.makedirs(opt.save_dir, exist_ok=True)
     return dataset.run_eval(results, opt.save_dir)
 

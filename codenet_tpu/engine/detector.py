@@ -311,13 +311,23 @@ class CtdetDetector(BaseDetector):
 
     def pre_process_raw(self, image, meta=None):
         """Host side of the device-warp path: zero-pad the raw frame into
-        the static (max_res, max_res) buffer and compute the two affines
+        a static (max_h, max_w) buffer and compute the two affines
         (same c/s letterbox geometry as pre_process, scale=1 fix_res).
         Returns None if the frame exceeds the static buffer (caller
-        falls back to the cv2 host warp)."""
-        max_res = getattr(self.opt, "device_warp_max_res", 768)
+        falls back to the cv2 host warp).
+
+        The buffer is `opt._device_warp_hw` when the caller derived a
+        tight rectangle from dataset metadata (cli/test.py batched_test —
+        every padded byte crosses the host->device link, so a 768^2
+        square for 500x375 frames would triple the transfer), else the
+        square `--device_warp_max_res` fallback."""
+        hw = getattr(self.opt, "_device_warp_hw", None)
+        if hw is None:
+            r = getattr(self.opt, "device_warp_max_res", 768)
+            hw = (r, r)
+        max_h, max_w = hw
         height, width = image.shape[0:2]
-        if height > max_res or width > max_res:
+        if height > max_h or width > max_w:
             return None
         c = np.array([width / 2.0, height / 2.0], dtype=np.float32)
         s = max(height, width) * 1.0
@@ -328,7 +338,7 @@ class CtdetDetector(BaseDetector):
         out_w = inp_w // self.opt.down_ratio
         trans_inv = get_affine_transform(
             c, s, 0, [out_w, out_h], inv=1).astype(np.float32)
-        padded = np.zeros((max_res, max_res, 3), np.uint8)
+        padded = np.zeros((max_h, max_w, 3), np.uint8)
         padded[:height, :width] = image
         return padded, warp_ti, trans_inv
 

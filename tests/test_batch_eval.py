@@ -109,3 +109,37 @@ def test_device_warp_oversize_falls_back(voc_root):
     batched_test(o)
     r = _load_results(o)
     assert len(r) > 0
+
+
+def test_multi_pass_bench_hook(voc_root):
+    """opt._bench_passes repeats the sweep (bench.py steady-state hook);
+    results must be identical to a single pass and pass times recorded."""
+    from codenet_tpu.cli.test import batched_test
+
+    a = _opt(voc_root, "bev_pass1", "--batch_eval 2")
+    batched_test(a)
+    b = _opt(voc_root, "bev_pass2", "--batch_eval 2")
+    b._bench_passes = 2
+    batched_test(b)
+    assert len(b._bench_pass_times) == 2
+    ra, rb = _load_results(a), _load_results(b)
+    for cls in range(1, len(ra)):
+        for da, db in zip(ra[cls], rb[cls]):
+            np.testing.assert_allclose(
+                np.asarray(da, np.float32), np.asarray(db, np.float32),
+                rtol=1e-4, atol=1e-3)
+
+
+def test_derived_raw_buffer_is_rectangular(voc_root):
+    """batched_test derives a tight (H, W) raw buffer from dataset
+    metadata (every padded byte crosses the host->device link): H and W
+    round up to 64 independently, capped at --device_warp_max_res."""
+    from codenet_tpu.cli.test import batched_test
+
+    o = _opt(voc_root, "bev_rect",
+             "--batch_eval 2 --device_warp --device_warp_max_res 256")
+    batched_test(o)
+    # images are 120w x 90h -> ceil64 => (128, 128)
+    assert o._device_warp_hw == (128, 128)
+    r = _load_results(o)
+    assert len(r) > 0

@@ -38,13 +38,31 @@ def _gather_feat_nhwc(feat, ind):
     return jnp.take_along_axis(feat, ind[..., None], axis=1)
 
 
-def topk(scores, k=40):
-    """Two-stage top-k (reference decode.py:110-126).
+def topk(scores, k=40, method="pooled"):
+    """Top-k over peak-masked heatmaps (reference decode.py:110-126).
 
     scores: (N, H, W, C). Returns (score, inds, clses, ys, xs), each (N, K);
     inds are flat y*W+x spatial indices.
+
+    method="two_stage" is the literal reference structure: per-class top-k
+    then a global top-k over the (C, K) winners. "pooled" (default)
+    computes the SAME selection ~4x cheaper on TPU: two strict 3x3 local
+    maxima can never share an aligned 2x2 block (they would be mutual
+    neighbors), so after `heat_nms` masking a 2x2/stride-2 max-pool keeps
+    every peak value while shrinking the lax.top_k sort domain 4x — the
+    decode top-k was 5.8 ms of the 12.2 ms batch-128 fused step on v5e.
+    The original cell of each pooled winner is recovered by an argmax over
+    its 4 child cells. Selection differs from two_stage only on exact
+    value TIES (plateaus): adjacent equal-valued peaks inside one block
+    collapse to one detection (the reference emits duplicate boxes there).
+    Callers whose maps have structural plateaus (exct's min(heat, 1.0)
+    clamp) must pass method="two_stage".
     """
     n, h, w, c = scores.shape
+    if method == "pooled":
+        ph, pw = -(-h // 2), -(-w // 2)
+        if k <= ph * pw * c:
+            return _topk_pooled(scores, k)
     flat = scores.reshape(n, h * w, c)
     percls = jnp.transpose(flat, (0, 2, 1))  # (N, C, H*W)
     topk_scores, topk_inds = jax.lax.top_k(percls, k)  # (N, C, K)
@@ -57,6 +75,40 @@ def topk(scores, k=40):
                                            axis=1)
     return (topk_score, gather(topk_inds), topk_clses, gather(topk_ys),
             gather(topk_xs))
+
+
+def _topk_pooled(scores, k):
+    """Exact top-k via 2x2 max-pool domain reduction (see `topk`)."""
+    n, h, w, c = scores.shape
+    neg = jnp.finfo(scores.dtype).min
+    pooled = jax.lax.reduce_window(
+        scores, neg, jax.lax.max,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+    ph, pw = pooled.shape[1], pooled.shape[2]
+    val, idx = jax.lax.top_k(pooled.reshape(n, ph * pw * c), k)  # (N, K)
+    ch = (idx % c).astype(jnp.int32)
+    sp = idx // c
+    py, px = sp // pw, sp % pw
+    # recover the winning original cell among the block's 4 children
+    # (first-max order (0,0),(0,1),(1,0),(1,1) — deterministic on ties)
+    by, bx = py * 2, px * 2
+    cand_y = jnp.stack([by, by, by + 1, by + 1], axis=-1)  # (N, K, 4)
+    cand_x = jnp.stack([bx, bx + 1, bx, bx + 1], axis=-1)
+    valid = (cand_y < h) & (cand_x < w)
+    cy = jnp.minimum(cand_y, h - 1)
+    cx = jnp.minimum(cand_x, w - 1)
+    cand_ind = cy * w + cx  # (N, K, 4) flat spatial
+    fi = cand_ind * c + ch[..., None]  # flat into (H*W*C)
+    g = jnp.take_along_axis(scores.reshape(n, h * w * c),
+                            fi.reshape(n, k * 4), axis=1).reshape(n, k, 4)
+    g = jnp.where(valid, g, neg)
+    choice = jnp.argmax(g, axis=-1)  # (N, K)
+    ind = jnp.take_along_axis(cand_ind, choice[..., None],
+                              axis=-1)[..., 0]
+    ys = (ind // w).astype(jnp.float32)
+    xs = (ind % w).astype(jnp.float32)
+    return val, ind, ch, ys, xs
 
 
 def topk_channel(scores, k=40):
@@ -186,10 +238,13 @@ def exct_decode(t_heat, l_heat, b_heat, r_heat, ct_heat,
     b_heat = jnp.minimum(heat_nms(b_heat), 1.0)
     r_heat = jnp.minimum(heat_nms(r_heat), 1.0)
 
-    t_scores, t_inds, t_clses, t_ys, t_xs = topk(t_heat, k)
-    l_scores, l_inds, l_clses, l_ys, l_xs = topk(l_heat, k)
-    b_scores, b_inds, b_clses, b_ys, b_xs = topk(b_heat, k)
-    r_scores, r_inds, r_clses, r_ys, r_xs = topk(r_heat, k)
+    # the min(heat, 1.0) clamp above creates exact-tie plateaus, which
+    # violate the pooled top-k's strict-peak invariant — use the literal
+    # reference two-stage selection here (see `topk` docstring).
+    t_scores, t_inds, t_clses, t_ys, t_xs = topk(t_heat, k, "two_stage")
+    l_scores, l_inds, l_clses, l_ys, l_xs = topk(l_heat, k, "two_stage")
+    b_scores, b_inds, b_clses, b_ys, b_xs = topk(b_heat, k, "two_stage")
+    r_scores, r_inds, r_clses, r_ys, r_xs = topk(r_heat, k, "two_stage")
 
     # broadcast to the K^4 lattice: axes (t, l, b, r)
     def bt(x):  # top varies over axis 1

@@ -61,29 +61,32 @@ def _dact_from_out(out, activation, slope):
     return jnp.ones_like(out)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def inplace_abn(x, weight, bias, mean, var, eps=1e-5,
-                activation="leaky_relu", slope=0.01):
+                activation="leaky_relu", slope=0.01, training=True):
     """act((x - mean) * rsqrt(var + eps) * (|weight| + eps) + bias).
 
     x: (..., C) NHWC; weight/bias/mean/var: (C,). mean/var are the
-    normalization statistics (batch stats when training, running stats at
-    eval) — gradients do NOT flow into them here; the flax `InPlaceABN`
-    module re-derives the through-statistics terms, which the reference's
-    edz/eydz backward already folds into dx (backward_cpu:76-85).
+    normalization statistics — gradients do NOT flow into them here.
+    With training=True (batch stats computed from x by the caller) the
+    backward applies the full through-statistics BN formula, which the
+    reference's edz/eydz backward folds into dx (backward_cpu:76-85);
+    with training=False (frozen running stats) mean/var really are
+    constants and dx reduces to dz * mul.
     """
     gamma = jnp.abs(weight) + eps
     z = (x - mean) * jax.lax.rsqrt(var + eps) * gamma + bias
     return _act(z, activation, slope)
 
 
-def _fwd(x, weight, bias, mean, var, eps, activation, slope):
-    out = inplace_abn(x, weight, bias, mean, var, eps, activation, slope)
+def _fwd(x, weight, bias, mean, var, eps, activation, slope, training):
+    out = inplace_abn(x, weight, bias, mean, var, eps, activation, slope,
+                      training)
     # residuals: OUTPUT only (plus the per-channel vectors) — x is dead
     return out, (out, weight, bias, var)
 
 
-def _bwd(eps, activation, slope, res, dout):
+def _bwd(eps, activation, slope, training, res, dout):
     out, weight, bias, var = res
     gamma = jnp.abs(weight) + eps
     z = _inv_act(out, activation, slope)
@@ -96,7 +99,10 @@ def _bwd(eps, activation, slope, res, dout):
     edz = dz.sum(axis=red)
     eydz = (y * dz).sum(axis=red)
     mul = jax.lax.rsqrt(var + eps) * gamma
-    dx = (dz - edz / num - y * eydz / num) * mul
+    if training:
+        dx = (dz - edz / num - y * eydz / num) * mul
+    else:
+        dx = dz * mul  # frozen stats: plain affine chain rule
     dweight = eydz * jnp.sign(weight)
     dbias = edz
     # mean/var receive no cotangent (folded into dx, see docstring)
@@ -154,5 +160,5 @@ class InPlaceABN:
         out = inplace_abn(x, state["weight"], state["bias"],
                           jax.lax.stop_gradient(mean),
                           jax.lax.stop_gradient(var),
-                          self.eps, self.activation, self.slope)
+                          self.eps, self.activation, self.slope, training)
         return out, new_state

@@ -111,3 +111,36 @@ def test_losses_focal_and_l1():
                              jnp.asarray(ind), jnp.asarray(target)))
     # |1-0.5| + |2-1| = 1.5 over mask sum 2
     np.testing.assert_allclose(l1, 1.5 / 2, rtol=1e-4)
+
+
+def test_topk_pooled_matches_two_stage():
+    """The 2x2-pool domain-reduced top-k must reproduce the reference
+    two-stage selection exactly on peak-masked maps with distinct values
+    (strict 3x3 peaks can't share an aligned 2x2 block). Covers odd and
+    even extents and k greater/smaller than the peak count."""
+    rng = np.random.RandomState(0)
+    for h, w, c, k in [(16, 16, 20, 10), (17, 23, 5, 40), (8, 8, 3, 60)]:
+        raw = rng.rand(2, h, w, c).astype(np.float32)
+        # distinct values (ties measure-zero for sigmoid outputs)
+        masked = np.asarray(D.heat_nms(jnp.asarray(raw)))
+        a = D.topk(jnp.asarray(masked), k, method="two_stage")
+        b = D.topk(jnp.asarray(masked), k, method="pooled")
+        sa, sb = np.asarray(a[0]), np.asarray(b[0])
+        np.testing.assert_allclose(sb, sa, atol=1e-7, err_msg=f"{h}x{w}x{c}")
+        # indices/classes must agree wherever the score is a real peak
+        # (zero-score tail entries may differ in tie order)
+        nz = sa > 0
+        for ia, ib, name in [(a[1], b[1], "ind"), (a[2], b[2], "cls"),
+                             (a[3], b[3], "ys"), (a[4], b[4], "xs")]:
+            np.testing.assert_array_equal(np.asarray(ia)[nz],
+                                          np.asarray(ib)[nz],
+                                          err_msg=f"{name} {h}x{w}x{c}")
+
+
+def test_topk_pooled_small_k_fallback():
+    """k larger than the pooled domain falls back to two_stage."""
+    rng = np.random.RandomState(1)
+    raw = rng.rand(1, 4, 4, 1).astype(np.float32)
+    masked = D.heat_nms(jnp.asarray(raw))
+    out = D.topk(masked, 16)  # pooled domain = 2*2*1 = 4 < 16
+    assert np.asarray(out[0]).shape == (1, 16)

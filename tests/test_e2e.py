@@ -220,3 +220,19 @@ def test_eval_trace_capture(voc_root, tmp_path):
     for root, _, files in os.walk(trace_dir):
         found += files
     assert found, "no trace files written"
+
+
+def test_train_trace_capture(voc_root, tmp_path):
+    """--trace also wraps the training loop (jax.profiler capture)."""
+    from codenet_tpu.cli.main import run_training
+
+    opt = _opt(voc_root, "--trace --exp_id tracetrain")
+    opt.debug_dir = str(tmp_path)
+    opt.save_dir = str(tmp_path)
+    run_training(opt)
+    trace_dir = os.path.join(str(tmp_path), "trace")
+    assert os.path.isdir(trace_dir)
+    found = []
+    for root, _, files in os.walk(trace_dir):
+        found += files
+    assert found, "no trace files written"

@@ -180,6 +180,37 @@ def test_inplace_abn_matches_autodiff_oracle(activation):
                                    rtol=2e-4, atol=2e-4, err_msg=name)
 
 
+def test_inplace_abn_frozen_stats_grad():
+    """training=False (frozen running stats): dx must be the plain
+    affine chain rule dz * mul, NOT the through-statistics formula."""
+    rng = np.random.RandomState(7)
+    x = rng.randn(3, 5, 5, 4).astype(np.float32)
+    w = rng.randn(4).astype(np.float32)
+    b = rng.randn(4).astype(np.float32)
+    mean = rng.randn(4).astype(np.float32)
+    var = (rng.rand(4).astype(np.float32) + 0.5)
+    cot = rng.randn(3, 5, 5, 4).astype(np.float32)
+    args = tuple(map(jnp.asarray, (x, w, b)))
+    mv = tuple(map(jnp.asarray, (mean, var)))
+
+    def f_ip(x, w, b):
+        return (A.inplace_abn(x, w, b, *mv, 1e-5, "leaky_relu", 0.01,
+                              False) * cot).sum()
+
+    def f_ref(x, w, b):
+        return (A.abn_reference(x, w, b, *mv, 1e-5, "leaky_relu",
+                                0.01) * cot).sum()
+
+    g_ip = jax.grad(f_ip, argnums=(0, 1, 2))(*args)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(np.asarray(g_ip[0]), np.asarray(g_ref[0]),
+                               rtol=2e-4, atol=2e-4, err_msg="dx")
+    np.testing.assert_allclose(np.asarray(g_ip[1]), np.asarray(g_ref[1]),
+                               rtol=2e-4, atol=2e-4, err_msg="dweight")
+    np.testing.assert_allclose(np.asarray(g_ip[2]), np.asarray(g_ref[2]),
+                               rtol=2e-4, atol=2e-4, err_msg="dbias")
+
+
 def test_inplace_abn_module_running_stats():
     m = A.InPlaceABN(3, momentum=0.5)
     state = m.init_state()

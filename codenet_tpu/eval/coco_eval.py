@@ -79,6 +79,10 @@ class CocoDetEval:
         if isinstance(results, str):
             with open(results) as f:
                 results = json.load(f)
+        # results.json entries carry no "id" (reference coco.py:90-112
+        # format); assign sequential ids like pycocotools COCO.loadRes
+        if any("id" not in d for d in results):
+            results = [dict(d, id=i + 1) for i, d in enumerate(results)]
         self.dt = results
         self.iou_type = iou_type
         self.img_ids = sorted(coco_gt.getImgIds())

@@ -111,14 +111,59 @@ def _topk_pooled(scores, k):
     return val, ind, ch, ys, xs
 
 
-def topk_channel(scores, k=40):
-    """Per-class top-k without the global stage (reference decode.py:99-108)."""
+def topk_channel(scores, k=40, method="pooled"):
+    """Per-class top-k without the global stage (reference decode.py:99-108).
+
+    scores: (N, H, W, C) peak-masked maps. Returns (score, inds, ys, xs),
+    each (N, C, K); inds are flat y*W+x per class. Like `topk`, the
+    default "pooled" method shrinks the per-class sort domain 4x via a
+    2x2/stride-2 max-pool with exact selection (strict 3x3 peaks can't
+    share an aligned block); pass method="two_stage" for maps with
+    exact-tie plateaus.
+    """
     n, h, w, c = scores.shape
+    if method == "pooled":
+        ph, pw = -(-h // 2), -(-w // 2)
+        if k <= ph * pw:
+            return _topk_channel_pooled(scores, k)
     percls = jnp.transpose(scores.reshape(n, h * w, c), (0, 2, 1))
     topk_scores, topk_inds = jax.lax.top_k(percls, k)
     topk_ys = (topk_inds // w).astype(jnp.float32)
     topk_xs = (topk_inds % w).astype(jnp.float32)
     return topk_scores, topk_inds, topk_ys, topk_xs
+
+
+def _topk_channel_pooled(scores, k):
+    """Exact per-class top-k via 2x2 max-pool domain reduction."""
+    n, h, w, c = scores.shape
+    neg = jnp.finfo(scores.dtype).min
+    pooled = jax.lax.reduce_window(
+        scores, neg, jax.lax.max,
+        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+    ph, pw = pooled.shape[1], pooled.shape[2]
+    percls = jnp.transpose(pooled.reshape(n, ph * pw, c), (0, 2, 1))
+    val, idx = jax.lax.top_k(percls, k)  # (N, C, K)
+    py, px = idx // pw, idx % pw
+    by, bx = py * 2, px * 2
+    cand_y = jnp.stack([by, by, by + 1, by + 1], axis=-1)  # (N, C, K, 4)
+    cand_x = jnp.stack([bx, bx + 1, bx, bx + 1], axis=-1)
+    valid = (cand_y < h) & (cand_x < w)
+    cy = jnp.minimum(cand_y, h - 1)
+    cx = jnp.minimum(cand_x, w - 1)
+    cand_ind = cy * w + cx  # flat spatial per class
+    # gather from the native (H*W, C) layout: flat index sp*C + class
+    cls_idx = jnp.arange(c, dtype=cand_ind.dtype)[None, :, None, None]
+    fi = cand_ind * c + cls_idx
+    g = jnp.take_along_axis(scores.reshape(n, h * w * c),
+                            fi.reshape(n, c * k * 4),
+                            axis=1).reshape(n, c, k, 4)
+    g = jnp.where(valid, g, neg)
+    choice = jnp.argmax(g, axis=-1)  # (N, C, K)
+    ind = jnp.take_along_axis(cand_ind, choice[..., None], axis=-1)[..., 0]
+    ys = (ind // w).astype(jnp.float32)
+    xs = (ind % w).astype(jnp.float32)
+    return val, ind, ys, xs
 
 
 def ctdet_decode(heat, wh, reg=None, cat_spec_wh=False, k=100):

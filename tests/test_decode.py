@@ -144,3 +144,23 @@ def test_topk_pooled_small_k_fallback():
     masked = D.heat_nms(jnp.asarray(raw))
     out = D.topk(masked, 16)  # pooled domain = 2*2*1 = 4 < 16
     assert np.asarray(out[0]).shape == (1, 16)
+
+
+def test_topk_channel_pooled_matches_two_stage():
+    """Per-class pooled top-k must reproduce the literal per-class sort
+    on peak-masked maps with distinct values."""
+    rng = np.random.RandomState(2)
+    for h, w, c, k in [(16, 16, 17, 10), (13, 21, 4, 30)]:
+        raw = rng.rand(2, h, w, c).astype(np.float32)
+        masked = np.asarray(D.heat_nms(jnp.asarray(raw)))
+        a = D.topk_channel(jnp.asarray(masked), k, method="two_stage")
+        b = D.topk_channel(jnp.asarray(masked), k, method="pooled")
+        sa = np.asarray(a[0])
+        np.testing.assert_allclose(np.asarray(b[0]), sa, atol=1e-7,
+                                   err_msg=f"{h}x{w}x{c}")
+        nz = sa > 0
+        for ia, ib, name in [(a[1], b[1], "ind"), (a[2], b[2], "ys"),
+                             (a[3], b[3], "xs")]:
+            np.testing.assert_array_equal(np.asarray(ia)[nz],
+                                          np.asarray(ib)[nz],
+                                          err_msg=f"{name} {h}x{w}x{c}")

@@ -91,3 +91,42 @@ def test_convert_hourglass_weight_renames():
         loaded = torch.load(dst, weights_only=False)
         assert loaded["epoch"] == 0
         assert set(loaded["state_dict"]) == set(out)
+
+
+def test_eval_coco_hp_scores_keypoints_and_bbox(tmp_path):
+    """tools_tpu/eval_coco_hp.py (reference tools/eval_coco_hp.py): one
+    command scores OKS keypoints then bbox on the same results.json;
+    perfect predictions give AP 1.0 on both."""
+    import json
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    images, anns, results = [], [], []
+    for i in range(3):
+        x, y, w, h = 20, 10, 60, 70
+        kps = []
+        for _ in range(17):
+            kps += [float(x + rng.randint(0, w)),
+                    float(y + rng.randint(0, h)), 2]
+        images.append({"id": i + 1, "file_name": "%d.jpg" % i,
+                       "width": 128, "height": 96})
+        anns.append({"id": i + 1, "image_id": i + 1, "category_id": 1,
+                     "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0,
+                     "num_keypoints": 17, "keypoints": kps})
+        results.append({"image_id": i + 1, "category_id": 1,
+                        "bbox": [x, y, w, h], "score": 0.9,
+                        "keypoints": kps})
+    gt_path = str(tmp_path / "person_keypoints.json")
+    json.dump({"images": images, "annotations": anns,
+               "categories": [{"id": 1, "name": "person",
+                               "keypoints": ["k%d" % j for j in range(17)],
+                               "skeleton": []}]}, open(gt_path, "w"))
+    res_path = str(tmp_path / "results.json")
+    json.dump(results, open(res_path, "w"))
+
+    sys.path.insert(0, REPO)
+    from tools_tpu.eval_coco_hp import main
+    stats = main([res_path, "--gt", gt_path])
+    assert set(stats) == {"keypoints", "bbox"}
+    for iou_type, s in stats.items():
+        assert abs(float(s["AP"]) - 1.0) < 1e-6, (iou_type, s)

@@ -222,6 +222,7 @@ def test_eval_trace_capture(voc_root, tmp_path):
     assert found, "no trace files written"
 
 
+@pytest.mark.slow
 def test_train_trace_capture(voc_root, tmp_path):
     """--trace also wraps the training loop (jax.profiler capture)."""
     from codenet_tpu.cli.main import run_training

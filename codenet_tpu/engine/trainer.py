@@ -273,9 +273,15 @@ class Trainer:
                 flush()
                 msg = " ".join("{} {:.4f}".format(k, m.avg)
                                for k, m in meters.items())
-                print("{} epoch {} [{}/{}] {} | data {:.3f}s net {:.3f}s"
-                      .format(phase, epoch, it, n_iters, msg,
-                              data_time.avg, batch_time.avg))
+                # --hide_data_time drops the timer suffix (reference
+                # base_trainer.py:80-84 Bar suffix gating)
+                if getattr(self.opt, "hide_data_time", False):
+                    times = ""
+                else:
+                    times = " | data {:.3f}s net {:.3f}s".format(
+                        data_time.avg, batch_time.avg)
+                print("{} epoch {} [{}/{}] {}{}"
+                      .format(phase, epoch, it, n_iters, msg, times))
             # training-time debug rendering (reference base_trainer.py:93-94)
             if getattr(self.opt, "debug", 0) > 0:
                 self.hooks.debug(self.variables, batch, meta, it,

@@ -302,19 +302,24 @@ def _bwd_kernel(x_ref, s_ref, g_ref, w_ref, dx_ref, ds_ref, dw_ref,
             D = dRY * RX + RY * dRX
             tap_w = _row_select(w_ref, t)      # (1, C)
             gw = g * tap_w                     # (tile, C)
-            Bx = jnp.dot(B.astype(x.dtype), x,
-                         preferred_element_type=jnp.float32)  # sampled
+            # one scatter matmul per tap, in the INPUT dtype (bf16 mode
+            # must not pay the 4x-slower f32 MXU rate): G_t = B^T g.
+            # The per-channel tap weight commutes through the column dim,
+            # so G_t serves BOTH cotangents — dx_t = G_t * w_t, and
+            # dw[t, c] = sum_p g (B x) = sum_q x * G_t — eliminating the
+            # former sampled-tap (B x) matmul entirely (1/3 of the MACs).
+            Gt = jnp.dot(B.T.astype(x.dtype), g.astype(x.dtype),
+                         preferred_element_type=jnp.float32)  # (q, C)
             Dx = jnp.dot(D.astype(x.dtype), x,
                          preferred_element_type=jnp.float32)
             # accumulate into row t of the (9, C) carry via a one-hot mask
             # (dynamic_update_slice is not lowerable on TPU values)
             row_hot = (jax.lax.broadcasted_iota(jnp.int32, (9, 1), 0)
                        == t).astype(jnp.float32)
-            dw_acc = dw_acc + row_hot * jnp.sum(Bx * g, axis=0,
-                                                keepdims=True)
+            dw_acc = dw_acc + row_hot * jnp.sum(
+                x.astype(jnp.float32) * Gt, axis=0, keepdims=True)
             ds_acc = ds_acc + jnp.sum(Dx * gw, axis=1, keepdims=True)
-            dx_acc = dx_acc + jnp.dot(B.T.astype(gw.dtype), gw,
-                                      preferred_element_type=jnp.float32)
+            dx_acc = dx_acc + Gt * tap_w
             return ds_acc, dx_acc, dw_acc
 
         ds_acc, dx_acc, dw_acc = jax.lax.fori_loop(

@@ -245,7 +245,7 @@ def main():
         sys.exit(1)
 
     t0 = time.time()
-    best, best_bs = bench_infer(batches=(128,))
+    best, best_bs = bench_infer(batches=(128, 256))
     _note(f"[bench] bf16_256: {best:.0f} img/s (bs{best_bs}) "
           f"t={time.time() - t0:.0f}s")
 

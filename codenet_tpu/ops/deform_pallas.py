@@ -322,11 +322,27 @@ def _bwd_kernel(x_ref, s_ref, g_ref, w_ref, dx_ref, ds_ref, dw_ref,
             dx_acc = dx_acc + Gt * tap_w
             return ds_acc, dx_acc, dw_acc
 
+        # the CENTER tap (t=4, anchor (0,0)) has D ≡ 0 (dR carries the
+        # chain factor a = 0), so its Dx matmul and ds term vanish: loop
+        # the 8 off-center taps (index remap skips 4) and handle t=4
+        # below with only the scatter matmul.
+        def off_center_body(k, carry):
+            return tap_body(k + (k >= 4).astype(k.dtype), carry)
+
         ds_acc, dx_acc, dw_acc = jax.lax.fori_loop(
-            0, len(_TAPS), tap_body,
+            0, len(_TAPS) - 1, off_center_body,
             (jnp.zeros((tile, 1), jnp.float32),
              jnp.zeros((q_cols, c), jnp.float32),
              jnp.zeros((9, c), jnp.float32)))
+        B4 = ry_ref[1] * rx_ref[1]
+        tap_w4 = _row_select(w_ref, 4)
+        Gt4 = jnp.dot(B4.T.astype(x.dtype), g.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        hot4 = (jax.lax.broadcasted_iota(jnp.int32, (9, 1), 0)
+                == 4).astype(jnp.float32)
+        dw_acc = dw_acc + hot4 * jnp.sum(x.astype(jnp.float32) * Gt4,
+                                         axis=0, keepdims=True)
+        dx_acc = dx_acc + Gt4 * tap_w4
         ds_ref[ib] = ds_acc
         if band_rows:
             dx_ref[ib, pl.ds(start, q_cols)] += dx_acc.astype(dx_ref.dtype)

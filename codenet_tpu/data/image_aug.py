@@ -48,9 +48,17 @@ def contrast_(data_rng, image, gs, gs_mean, var):
     blend_(alpha, image, gs_mean)
 
 
-def color_aug(data_rng, image, eig_val, eig_vec):
+def color_aug(data_rng, image, eig_val, eig_vec, py_random=None):
+    """py_random=None keeps the reference's process-global python-random
+    shuffle (exact stream parity); passing a numpy RandomState keeps the
+    op-order draw on the same explicit stream as the alphas, so the host
+    path stays deterministic under multi-worker loading (matching
+    device_aug.draw_color_aug_params)."""
     functions = [brightness_, contrast_, saturation_]
-    random.shuffle(functions)
+    if py_random is None:
+        random.shuffle(functions)
+    else:
+        py_random.shuffle(functions)
     gs = grayscale(image)
     gs_mean = gs.mean()
     for f in functions:

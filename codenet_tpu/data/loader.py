@@ -104,10 +104,13 @@ class DataLoader:
                 try:
                     if deterministic:
                         # per-batch stream keyed by (seed, epoch, batch):
-                        # draws don't depend on which thread runs when
-                        bseed = (self.seed * 1000003 + epoch * 8191 + b) \
-                            % (2 ** 31)
-                        brng = np.random.RandomState(bseed)
+                        # draws don't depend on which thread runs when.
+                        # SeedSequence hash-mixes the key — no collisions
+                        # between (epoch, b) pairs at any epoch length
+                        # (an additive mix collided past 8191 batches).
+                        brng = np.random.RandomState(
+                            np.random.SeedSequence(
+                                (self.seed, epoch, b)).generate_state(1)[0])
                         samples = [self.dataset.get_sample(j, rng=brng)
                                    for j in batches[b]]
                     else:

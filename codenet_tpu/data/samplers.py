@@ -41,7 +41,8 @@ def finish_input(sampler, inp_u8, is_train, rng=None):
         inp = inp_u8.astype(np.float32) / 255.0
         if is_train and not opt.no_color_aug:
             color_aug(data_rng, inp, sampler._eig_val,
-                      sampler._eig_vec)
+                      sampler._eig_vec,
+                      py_random=None if rng is None else rng)
         inp = (inp - sampler.mean) / sampler.std
         return {"input": inp.astype(np.float32)}
     if is_train and not opt.no_color_aug:

@@ -251,20 +251,7 @@ class CtdetDetector(BaseDetector):
             with flip_test, (2B, ...) laid out [originals; flipped];
             trans_inv: (B, 2, 3) per-image output->original affines."""
             images = eval_input(images, self.mean, self.std)
-            out = model.apply(variables, images, train=False)
-            outputs = out if isinstance(out, (list, tuple)) else [out]
-            output = outputs[-1]
-            hm = jax.nn.sigmoid(output["hm"])
-            wh = output["wh"]
-            reg = output["reg"] if reg_offset else None
-            if flip_test:
-                b = hm.shape[0] // 2
-                hm = (hm[:b] + flip_w(hm[b:])) / 2
-                wh = (wh[:b] + flip_w(wh[b:])) / 2
-                reg = reg[:b] if reg is not None else None
-            dets = D.ctdet_decode(hm, wh, reg=reg, cat_spec_wh=cat_spec_wh,
-                                  k=k)
-            return D.backproject_dets(dets, trans_inv, 1.0)
+            return _process_batch_normalized(variables, images, trans_inv)
 
         self._process_batch_impl = _process_batch
 

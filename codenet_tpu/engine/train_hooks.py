@@ -81,9 +81,16 @@ class TrainHooks:
         debugger.save_all_imgs(out_dir,
                                prefix="{}_{}_".format(phase, iter_id))
 
+    def forward(self, variables, batch):
+        """One jitted eval forward shared by debug AND save_result — the
+        trainer computes it once per batch when both hooks fire."""
+        return self._fwd(variables, batch)
+
     # -- debug ------------------------------------------------------------
-    def debug(self, variables, batch, meta, iter_id, phase="train"):
-        inp, batch2, out = self._fwd(variables, batch)
+    def debug(self, variables, batch, meta, iter_id, phase="train",
+              fwd_out=None):
+        inp, batch2, out = fwd_out if fwd_out is not None \
+            else self._fwd(variables, batch)
         fn = getattr(self, "_debug_" + self.task, None)
         if fn is None:  # pragma: no cover
             return
@@ -214,12 +221,13 @@ class TrainHooks:
         self._emit(dbg, phase, iter_id)
 
     # -- save_result ------------------------------------------------------
-    def save_result(self, variables, batch, meta, results):
+    def save_result(self, variables, batch, meta, results, fwd_out=None):
         """Decode + back-project sample-0 predictions into `results`
         keyed by img_id (reference hooks run with val batch_size 1)."""
         if not meta or "img_id" not in meta[0]:
             return
-        inp, batch2, out = self._fwd(variables, batch)
+        inp, batch2, out = fwd_out if fwd_out is not None \
+            else self._fwd(variables, batch)
         fn = getattr(self, "_save_" + self.task, None)
         if fn is None:
             return

@@ -283,13 +283,20 @@ class Trainer:
                 print("{} epoch {} [{}/{}] {}{}"
                       .format(phase, epoch, it, n_iters, msg, times))
             # training-time debug rendering (reference base_trainer.py:93-94)
-            if getattr(self.opt, "debug", 0) > 0:
-                self.hooks.debug(self.variables, batch, meta, it,
-                                 phase=phase)
-            # decoded val predictions for mAP-during-training (reference
-            # base_trainer.py:96-97, gated on --test)
-            if results is not None and getattr(self.opt, "test", False):
-                self.hooks.save_result(self.variables, batch, meta, results)
+            # + decoded val predictions for mAP-during-training (reference
+            # base_trainer.py:96-97, gated on --test). Both hooks share one
+            # jitted eval forward per batch.
+            want_debug = getattr(self.opt, "debug", 0) > 0
+            want_save = (results is not None
+                         and getattr(self.opt, "test", False))
+            if want_debug or want_save:
+                fwd_out = self.hooks.forward(self.variables, batch)
+                if want_debug:
+                    self.hooks.debug(self.variables, batch, meta, it,
+                                     phase=phase, fwd_out=fwd_out)
+                if want_save:
+                    self.hooks.save_result(self.variables, batch, meta,
+                                           results, fwd_out=fwd_out)
             if on_batch is not None:
                 on_batch(it, batch, meta)
         flush()

@@ -121,7 +121,8 @@ def _grid_geometry(w_dim, tile, hw_pad):
 
 
 # Banded-B regime: the co-design bounds the sampling displacement to
-# |anchor * (s - 1)| <= 8 px (Hardtanh[-7, 8] on s, anchor in {-1,0,1}),
+# |anchor * s| <= 8 px (taps at p + anchor*s, Hardtanh[-7, 8] on s,
+# anchor in {-1,0,1}),
 # so an output row-tile only ever reads input rows [r0 - 8, r1 + 9] —
 # a ~(tile_rows + 18)-row BAND instead of the whole map. The B matrices
 # shrink from (tile, HW) to (tile, band), cutting both the VPU factor
@@ -503,12 +504,20 @@ def _pad_rows(a, hw, hw_pad):
 
 
 def _band_safe_s(s):
-    """The banded kernels only read rows within the co-design reach
-    (|anchor*(s-1)| <= 8, from the module's Hardtanh[-7, 8]); clamp s so
-    out-of-contract callers degrade to clamped sampling instead of
-    silently-truncated reads (gradient beyond the clamp is 0, exactly the
-    Hardtanh behavior)."""
-    return jnp.clip(s, -7.0, 9.0)
+    """The op's s contract: tap (i, j) samples at p + anchor*s (see
+    deform_conv.codesign_deform_conv), and the module's Hardtanh[-7, 8]
+    bounds |anchor*s| <= 8 — exactly the banded kernels' row reach. s is
+    clamped to that range at the OP BOUNDARY — in every regime, forward
+    and backward — making the fast op's semantics regime-independent:
+    out-of-contract callers get clamped sampling with a zero gradient
+    beyond the clamp (`_bwd` masks ds; exactly the Hardtanh behavior),
+    never silently-truncated band reads. (An earlier clamp of [-7, 9],
+    derived for a p + anchor*(s-1) convention the kernels don't use, let
+    s=9's p-9 tap escape the 8-row band.)"""
+    return jnp.clip(s, _S_LO, _S_HI)
+
+
+_S_LO, _S_HI = -7.0, 8.0
 
 
 def _pad_rows_banded(a, h, w_dim, out_pad, tile, band_rows):
@@ -587,8 +596,7 @@ def _forward_pallas(x, s, weight_kc, img_block=8):
             n, h, w_dim, c, hw, hw_pad, tile, img_block = _plan(
                 x, img_block, 1024 * 1024, tile_budget_bytes=1024 * 1024,
                 assume_f32=True)
-    if band_rows:
-        s = _band_safe_s(s)
+    s = _band_safe_s(s)  # op contract: same clamp in every regime
     s_flat = _pad_rows(s.astype(jnp.float32).reshape(n, hw, 1), hw, hw_pad)
     if band_rows:
         x_flat = _pad_rows_banded(x.reshape(n, hw, c), h, w_dim, hw_pad,
@@ -666,7 +674,7 @@ def _backward_pallas(x, s, weight_kc, g, img_block=8):
         tile = _banded_tile(h, w_dim, hw, 512 * 1024)
         hw_pad = -(-hw // tile) * tile
         band_rows = _band_rows(tile, w_dim)
-        s = _band_safe_s(s)
+    s = _band_safe_s(s)  # op contract: same clamp in every regime
     s_flat = _pad_rows(s.astype(jnp.float32).reshape(n, hw, 1), hw, hw_pad)
     g_flat = _pad_rows(g.reshape(n, hw, c), hw, hw_pad)
     if band_rows:
@@ -690,7 +698,11 @@ def codesign_deform_conv_fast(x, s, weight):
 
     x: (N, H, W, C), f32 or bf16; s: (N, H, W, 1); weight: HWIO (3, 3, 1, C).
     Semantics identical to deform_conv.codesign_deform_conv (stride 1,
-    padding 1, depthwise); forward accumulates f32 on the MXU.
+    padding 1, depthwise) with s clamped to [-7, 8] at the op boundary
+    (the co-design Hardtanh range, which bounds the banded kernels' row
+    band; ds is 0 beyond the clamp) — a no-op for every in-contract
+    caller, uniform across kernel regimes for everyone else. Forward
+    accumulates f32 on the MXU.
     """
     weight_kc = weight.reshape(9, weight.shape[-1])
     return _forward_pallas(x, s, weight_kc)
@@ -714,11 +726,16 @@ def _bwd(res, g):
     h, w_dim = x.shape[1], x.shape[2]
     if (h * w_dim > _BWD_MAX_HW
             and not _use_banding(h, w_dim, min(h * w_dim, 128), x.dtype)):
-        _, vjp = jax.vjp(lambda x_, s_, w_: _xla_impl(x_, s_, w_),
+        # clamp INSIDE the vjp so ds is masked beyond the contract range,
+        # matching the Pallas branch below
+        _, vjp = jax.vjp(lambda x_, s_, w_: _xla_impl(x_, _band_safe_s(s_),
+                                                      w_),
                          x, s, weight)
         return vjp(g)
     c = weight.shape[-1]
     dx, ds, dw = _backward_pallas(x, s, weight.reshape(9, c), g)
+    # zero gradient where the op-boundary clamp was active (Hardtanh-like)
+    ds = jnp.where((s > _S_LO) & (s < _S_HI), ds, 0.0)
     return (dx.astype(x.dtype), ds.astype(s.dtype),
             dw.reshape(weight.shape).astype(weight.dtype))
 
@@ -743,7 +760,8 @@ def _xla_fwd(x, s, weight):
 
 def _xla_bwd(res, g):
     x, s, weight = res
-    _, vjp = jax.vjp(lambda x_, s_, w_: _xla_impl(x_, s_, w_), x, s, weight)
+    _, vjp = jax.vjp(lambda x_, s_, w_: _xla_impl(x_, _band_safe_s(s_), w_),
+                     x, s, weight)
     return vjp(g)
 
 

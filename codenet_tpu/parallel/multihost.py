@@ -13,7 +13,7 @@ Usage (per process):
     mesh = get_mesh()                       # global devices
     lo, hi = process_batch_slice(global_bs)
     local = {k: v[lo:hi] for k, v in host_batch.items()}
-    batch = global_batch_from_local(mesh, local, global_bs)
+    batch = global_batch_from_local(mesh, local, axis_name="data")
     train_step(variables, opt_state, batch)  # XLA all-reduce over ICI/DCN
 """
 

@@ -65,6 +65,43 @@ def test_pallas_backward_matches_xla(shape):
                                    rtol=5e-3, atol=5e-3, err_msg=name)
 
 
+def test_out_of_contract_s_clamped_uniformly():
+    """Op contract: s beyond the co-design reach is clamped to [-7, 8] at
+    the op boundary in EVERY regime — including 32x32 maps, where the
+    forward runs the dense unrolled kernel but the backward runs banded —
+    with zero ds beyond the clamp (Hardtanh-like). Before this contract,
+    such a caller got an UNclamped forward and a banded/clamped backward:
+    gradients of a different function than the forward computed."""
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 32, 32, 32).astype(np.float32))
+    s = jnp.asarray(
+        rng.uniform(-12.0, 14.0, (1, 32, 32, 1)).astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 1, 32) * 0.2).astype(np.float32))
+
+    def clamp(s):
+        return jnp.clip(s, -7.0, 8.0)
+
+    a = np.asarray(codesign_deform_conv(
+        x, clamp(s), w, precision=jax.lax.Precision.HIGHEST))
+    b = np.asarray(DP.codesign_deform_conv_fast(x, s, w))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+    def f_fast(x, s, w):
+        return jnp.sum(jnp.sin(DP.codesign_deform_conv_fast(x, s, w)))
+
+    def f_ref(x, s, w):
+        return jnp.sum(jnp.sin(codesign_deform_conv(x, clamp(s), w)))
+
+    g_fast = jax.grad(f_fast, argnums=(0, 1, 2))(x, s, w)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(x, s, w)
+    for name, ga, gb in zip(("dx", "ds", "dw"), g_fast, g_ref):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
+    outside = (np.asarray(s) <= -7.0) | (np.asarray(s) >= 8.0)
+    assert outside.any()  # the draw actually exercised the clamp
+    assert np.all(np.asarray(g_fast[1])[outside] == 0.0)
+
+
 def test_pallas_backward_under_jit_and_integer_scales():
     """Integer s lands exactly on grid points (fy=fx=0) — the boundary of
     the bilinear cells; gradients must still agree there."""

@@ -84,10 +84,15 @@ def test_loader_drop_last():
     assert len(padded) == 3 and padded[-1]["input"].shape[0] == 2
 
 
-def test_augmentation_deterministic_across_worker_counts(tmp_path):
+@pytest.mark.parametrize("host_normalize", [False, True],
+                         ids=["device", "host"])
+def test_augmentation_deterministic_across_worker_counts(
+        tmp_path, host_normalize):
     """ADVICE r2: per-batch RNG makes augmentation draws independent of
     thread scheduling — 1-worker and 4-worker runs produce bit-identical
-    batches, across repeated runs."""
+    batches, across repeated runs. Covers BOTH input paths: the host
+    path's color_aug op-order shuffle must come from the per-batch rng
+    too, not the process-global python random stream."""
     pytest.importorskip("cv2")
     from synthetic import make_voc_dataset
     from codenet_tpu import config as cfg
@@ -97,6 +102,7 @@ def test_augmentation_deterministic_across_worker_counts(tmp_path):
     args = ("ctdet --dataset pascal --arch shufflenetv2 --input_res 64 "
             "--batch_size 2 --num_workers 1").split()
     opt = cfg.parse(args)
+    opt.host_normalize = host_normalize
     opt.data_dir = str(tmp_path)
     opt = cfg.update_dataset_info_and_set_heads(
         opt, cfg.DATASET_SPECS["pascal"])

@@ -547,8 +547,10 @@ def _fwd_pallas_call(x_flat, s_flat, w_kc, *, h, w_dim, tile, img_block,
     q_cols = band_rows * w_dim if band_rows else x_cols
     # the scoped-VMEM driver is the set of (tile, q_cols) tap matrices the
     # unrolled loop keeps live (~15 x tile*q_cols*4B incl. shared factors);
-    # beyond q_cols=1024 that approaches the 16 MB limit, so roll the loop
-    rolled = q_cols > 1024 or band_rows > 0
+    # beyond q_cols=1024 that approaches the 16 MB limit, so roll the loop.
+    # Small-map bands (q_cols <= 1024, CODENET_BANDED_UNROLLED) stay
+    # unrolled: the band cuts MACs 28% and the rolled overhead would eat it
+    rolled = q_cols > 1024
     kernel = functools.partial(_fwd_kernel, h=h, w_dim=w_dim, tile=tile,
                                img_block=img_block, rolled=rolled,
                                band_rows=band_rows)
@@ -572,11 +574,26 @@ def _fwd_pallas_call(x_flat, s_flat, w_kc, *, h, w_dim, tile, img_block,
     )(x_flat, s_flat, w_kc)
 
 
+def _banded_unrolled_enabled():
+    """Opt-in (PERF.md headroom #1): band the forward on SMALL maps too
+    (32x32: q_cols 1024 -> 736, -28% MACs and factor-build ops) where the
+    band still fits the unrolled tap loop — avoiding the rolled-loop
+    overhead that made rolled banding 67% slower there (NOTES #18).
+    Off by default until measured on the real chip."""
+    return os.environ.get("CODENET_BANDED_UNROLLED", "") == "1"
+
+
 def _forward_pallas(x, s, weight_kc, img_block=8):
     n, h, w_dim, c, hw, hw_pad, tile, img_block = _plan(
         x, img_block, 2 * 1024 * 1024)
     band_rows = 0
-    if hw_pad > 1024:
+    if (hw_pad <= 1024 and _banded_unrolled_enabled()
+            and _use_banding(h, w_dim, min(hw, 128), x.dtype)):
+        tile = _banded_tile(h, w_dim, hw, 1024 * 1024)
+        if _band_rows(tile, w_dim) * w_dim < hw_pad:  # band must shrink q
+            hw_pad = -(-hw // tile) * tile
+            band_rows = _band_rows(tile, w_dim)
+    elif hw_pad > 1024:
         if _use_banding(h, w_dim, min(hw, 128), x.dtype):
             # banded regime: B shrinks to (tile, band) — replan with the
             # band as the scoped-VMEM unit

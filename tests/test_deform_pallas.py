@@ -128,6 +128,31 @@ def test_pallas_backward_under_jit_and_integer_scales():
                                    rtol=5e-3, atol=5e-3, err_msg=name)
 
 
+def test_banded_unrolled_small_map(monkeypatch):
+    """CODENET_BANDED_UNROLLED=1 bands the forward on small (<=1024 pos)
+    maps with the tap loop still unrolled (PERF.md headroom #1); outputs
+    and gradients must match the default dense regime / XLA exactly."""
+    monkeypatch.setenv("CODENET_BANDED_UNROLLED", "1")
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 32, 32, 64).astype(np.float32))
+    s = jnp.asarray(rng.uniform(-7.0, 8.0, (2, 32, 32, 1))
+                    .astype(np.float32))
+    w = jnp.asarray((rng.randn(3, 3, 1, 64) * 0.2).astype(np.float32))
+    a = np.asarray(codesign_deform_conv(
+        x, s, w, precision=jax.lax.Precision.HIGHEST))
+    b = np.asarray(DP.codesign_deform_conv_fast(x, s, w))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+    g_fast = jax.grad(lambda *t: jnp.sum(
+        jnp.sin(DP.codesign_deform_conv_fast(*t))), argnums=(0, 1, 2))(
+        x, s, w)
+    g_xla = jax.grad(lambda *t: jnp.sum(
+        jnp.sin(codesign_deform_conv(*t))), argnums=(0, 1, 2))(x, s, w)
+    for name, ga, gb in zip(("dx", "ds", "dw"), g_fast, g_xla):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
+
+
 def test_model_integration_interpret(monkeypatch):
     """CODENET_PALLAS_INTERPRET=1 routes CodesignDeformBlock through the
     Pallas kernel on CPU; outputs must match the XLA-path model."""

@@ -127,6 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
     # reference base_detector.py:48-76 — disappears from the pipeline)
     # TPU extension: capture a jax.profiler trace of the eval hot loop
     # into <debug_dir>/trace (view with tensorboard/xprof)
+    p.add_argument("--spatial_shard", type=int, default=1,
+                   help="TPU extension: shard the image H axis over this "
+                        "many devices on a 2-D (data, spatial) mesh — "
+                        "GSPMD spatially partitions the backbone convs "
+                        "with halo exchange (high-res scaling past "
+                        "per-chip batch granularity)")
     p.add_argument("--act_clamp", action="store_true",
                    help="QAT/eval fake-quant clamps activations to the signed\n                        int8 window (deployment-faithful; the reference does not)")
     p.add_argument("--trace", action="store_true",

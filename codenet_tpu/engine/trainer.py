@@ -163,7 +163,14 @@ class Trainer:
     def __init__(self, opt, qspec=None, mesh=None):
         self.opt = opt
         self.qspec = qspec
-        self.mesh = mesh or get_mesh_for_batch(opt.batch_size)
+        if mesh is not None:
+            self.mesh = mesh
+        elif getattr(opt, "spatial_shard", 1) > 1:
+            from ..parallel.mesh import get_mesh_2d
+            self.mesh = get_mesh_2d(opt.spatial_shard,
+                                    batch_size=opt.batch_size)
+        else:
+            self.mesh = get_mesh_for_batch(opt.batch_size)
         dtype = jnp.bfloat16 if getattr(opt, "dtype", "") == "bfloat16" \
             else None
         self.model = create_model(opt.arch, opt.heads, opt.head_conv,
@@ -251,7 +258,7 @@ class Trainer:
             meta = batch.pop("meta", None)
             bs = batch["input_u8" if "input_u8" in batch
                        else "input"].shape[0]
-            if bs % self.mesh.devices.size == 0:
+            if bs % self.mesh.shape.get("data", 1) == 0:
                 batch = shard_batch(self.mesh, batch)
             else:
                 # e.g. the reference's batch-1 val loader on a multi-chip

@@ -1,10 +1,13 @@
 """Hermetic multi-chip dryrun body (run in a scrubbed-env subprocess).
 
-Jits the FULL data-parallel training step (batch sharded over a 'data'
-mesh, params replicated, XLA grad all-reduce over ICI) on an n-device
-virtual CPU mesh and runs one step on tiny shapes. This validates the
-framework's multi-chip sharding story (SURVEY.md §2.2) without TPU
-hardware.
+Jits the FULL training step over an n-device virtual CPU mesh and runs
+one real step on tiny shapes, in BOTH supported parallelism regimes:
+(1) pure data parallel (batch sharded over a 'data' mesh, params
+replicated, XLA grad all-reduce over ICI) and (2) the 2-D
+(data, spatial) mesh (--spatial_shard) where the image H axis
+additionally shards and GSPMD halo-exchanges the backbone convolutions.
+This validates the framework's multi-chip sharding story (SURVEY.md
+§2.2) without TPU hardware.
 
 MUST run in a process where the TPU plugin was never registered: the
 launcher (`__graft_entry__.dryrun_multichip`) spawns this module via
@@ -79,7 +82,27 @@ def run(n_devices: int) -> None:
         trainer.variables, trainer.opt_state, batch)
     loss = float(stats["loss"])
     assert onp.isfinite(loss), loss
-    print(f"dryrun_multichip({n_devices}): loss={loss:.4f} OK", flush=True)
+    print(f"dryrun_multichip({n_devices}): dp loss={loss:.4f} OK",
+          flush=True)
+
+    # Phase 2 — the 2-D (data, spatial) mesh (--spatial_shard): batch over
+    # n/2 devices, image H over 2; GSPMD spatially partitions the backbone
+    # convs with halo exchange. Same full train step, one real step.
+    if n_devices >= 2 and n_devices % 2 == 0:
+        from codenet_tpu.parallel.mesh import get_mesh_2d
+        mesh2 = get_mesh_2d(2, batch_size=b, devices=devices)
+        trainer2 = Trainer(opt, mesh=mesh2)
+        trainer2.init()
+        batch2 = shard_batch(mesh2, {k: onp.asarray(v) for k, v in
+                                     zip(batch, jax.device_get(
+                                         list(batch.values())))})
+        _, _, stats2 = trainer2.train_step(
+            trainer2.variables, trainer2.opt_state, batch2)
+        loss2 = float(stats2["loss"])
+        assert onp.isfinite(loss2), loss2
+        assert abs(loss2 - loss) < 0.05 * max(abs(loss), 1.0), (loss, loss2)
+        print(f"dryrun_multichip({n_devices}): dp x sp loss={loss2:.4f} OK",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -13,6 +13,19 @@ as a warned no-op).
 Multi-host extension: the same mesh spec over jax.devices() spanning
 processes, with per-process data loading by jax.process_index() — the mesh
 abstraction here does not preclude it.
+
+Beyond data parallelism (--spatial_shard): a 2-D ('data', 'spatial') mesh
+additionally shards the image H axis — GSPMD spatially partitions the
+backbone convolutions with automatic halo exchange over ICI, which is the
+TPU-native way to scale HIGH-RESOLUTION training (512² --w2 and beyond)
+past per-chip batch granularity. The deform kernels' custom_partitioning
+rules prefer batch-only sharding, so GSPMD re-gathers H exactly at the
+neck, where maps are already small (<= 1/32 res) and the gather is cheap.
+The other classic axes are deliberately absent, with reasons: tensor
+parallelism (the largest weight, layer4's 1024x464 1x1, is ~0.5 MB —
+replication costs nothing and TP's per-layer all-reduces would dominate),
+pipeline parallelism (the whole model is ~2-6 M params; one stage),
+expert parallelism (no MoE layers exist in any CoDeNet architecture).
 """
 
 from __future__ import annotations
@@ -38,6 +51,27 @@ def get_mesh_for_batch(batch_size, devices=None, axis_name="data"):
     return Mesh(np.array(devices[:n]), (axis_name,))
 
 
+def get_mesh_2d(spatial, batch_size=None, devices=None):
+    """('data', 'spatial') mesh: the trailing `spatial` devices of each
+    row shard the image H axis; the rest of the device count goes to the
+    batch axis (shrunk until it divides batch_size, like
+    get_mesh_for_batch)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    assert n % spatial == 0, (n, spatial)
+    nd = n // spatial
+    if batch_size is not None:
+        while nd > 1 and batch_size % nd != 0:
+            nd -= 1
+    devices = np.array(devices[:nd * spatial]).reshape(nd, spatial)
+    return Mesh(devices, ("data", "spatial"))
+
+
+# batch fields whose dim 1 is the image H axis (shardable over 'spatial');
+# every other field shards on the batch dim only
+_SPATIAL_FIELDS = ("input", "input_u8")
+
+
 def data_sharding(mesh, axis_name="data"):
     return NamedSharding(mesh, P(axis_name))
 
@@ -47,9 +81,20 @@ def replicated_sharding(mesh):
 
 
 def shard_batch(mesh, batch, axis_name="data"):
-    """Place a dict of host arrays with batch-dim sharding."""
+    """Place a dict of host arrays with batch-dim sharding; on a 2-D
+    ('data', 'spatial') mesh the image tensors additionally shard H
+    (GSPMD halo-exchanges the conv boundaries)."""
     s = NamedSharding(mesh, P(axis_name))
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, s), batch)
+    spatial = "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1
+    out = {}
+    for k, a in batch.items():
+        if (spatial and k in _SPATIAL_FIELDS
+                and a.shape[1] % mesh.shape["spatial"] == 0):
+            sp = NamedSharding(mesh, P(axis_name, "spatial"))
+            out[k] = jax.device_put(a, sp)
+        else:
+            out[k] = jax.device_put(a, s)
+    return out
 
 
 def replicate_tree(mesh, tree):

@@ -138,6 +138,42 @@ def test_multistep_state_equivalence(quantized):
         assert leaf.sharding.is_fully_replicated, leaf.sharding
 
 
+@pytest.mark.slow
+def test_spatial_shard_matches_single_device():
+    """--spatial_shard: a 2x4 ('data', 'spatial') mesh — batch over 2,
+    image H over 4 (GSPMD halo-exchanges the conv boundaries) — must
+    train to the same state as one device. Covers the uint8 device-aug
+    input path too (H-sharded color aug + normalize)."""
+    from codenet_tpu.engine.trainer import Trainer
+    from codenet_tpu.parallel.mesh import get_mesh_2d
+    from codenet_tpu.parallel import get_mesh, shard_batch
+
+    opt = _tiny_opt()
+    # 32x32 input: H shards 8 rows/device; layer0 /4 map is 8 rows
+    batches = _tiny_batches(2)
+
+    finals = {}
+    for mesh in (get_mesh(jax.devices()[:1]), get_mesh_2d(4)):
+        tr = Trainer(opt, mesh=mesh)
+        tr.init(rng=jax.random.PRNGKey(11))
+        variables, opt_state = tr.variables, tr.opt_state
+        for batch in batches:
+            sb = shard_batch(mesh, batch)
+            if "spatial" in mesh.axis_names:
+                # the image really is H-sharded, not replicated
+                spec = sb["input"].sharding.spec
+                assert len(spec) >= 2 and spec[1] == "spatial", spec
+            variables, opt_state, stats = tr.train_step(
+                variables, opt_state, sb)
+        finals[mesh.devices.size] = (variables, float(stats["loss"]))
+
+    (v1, loss1), (v8, loss8) = finals[1], finals[8]
+    np.testing.assert_allclose(loss1, loss8, rtol=5e-2)
+    _leaves_allclose(v1["params"], v8["params"], rtol=5e-2, atol=3e-3)
+    _leaves_allclose(v1["batch_stats"], v8["batch_stats"], rtol=5e-2,
+                     atol=3e-3)
+
+
 def test_sharded_eval_matches_single_device():
     """8-device sharded detector batch == single-device outputs (the eval
     analogue of the train-step test)."""

@@ -60,6 +60,7 @@ def test_batched_matches_per_image(voc_root, flip):
                                        err_msg=f"cls{cls} img{i}")
 
 
+@pytest.mark.slow
 def test_batched_falls_back_on_multiscale(voc_root, capsys):
     from codenet_tpu.cli.test import batched_test
 

@@ -69,6 +69,7 @@ def test_ddd_train_and_eval(kitti_root, tmp_path):
         assert len(row) == 16, row
 
 
+@pytest.mark.slow
 def test_ddd_serial_eval_path(kitti_root, tmp_path):
     """--not_prefetch_test threads per-image calib through detector.run."""
     opt = _opt(kitti_root, str(tmp_path), extra="--not_prefetch_test")

@@ -73,6 +73,7 @@ def test_param_count_matches_model_size():
     assert 1.0e6 < n_params < 2.5e6, n_params
 
 
+@pytest.mark.slow
 def test_quant_mode_same_param_tree_and_forward():
     q = QuantSpec()
     fp = create_model("shufflenetv2", HEADS, 64)

@@ -243,21 +243,24 @@ def _axis_factor_traced(s, p_axis, q_axis, a):
 
 
 def _bwd_kernel(x_ref, s_ref, g_ref, w_ref, dx_ref, ds_ref, dw_ref,
-                ry_ref, dry_ref, rx_ref, drx_ref, *,
-                h, w_dim, tile, img_block, band_rows=0):
+                *scratch, h, w_dim, tile, img_block, rolled=True,
+                band_rows=0):
     """Fused backward: accumulate dX over row-tiles (j), dw over the whole
     grid; ds is written per (image, tile). D_t = dB_t/ds via the product
     rule on the separable factors: D_t = dRY[ai]*RX[aj] + RY[ai]*dRX[aj].
 
-    The tap loop is a lax.fori_loop (not unrolled): Mosaic stack-allocates
+    rolled=True: the tap loop is a lax.fori_loop — Mosaic stack-allocates
     unrolled temporaries, and 9 taps x (B, D, dots) of (tile, HWpad) f32
     blew the 16 MB scoped-VMEM limit at 32x32x128/batch-64 shapes; the
-    rolled loop reuses one iteration's buffers.
+    rolled loop reuses one iteration's buffers. Small q_cols maps
+    (CODENET_BANDED_UNROLLED) unroll the 9 static taps instead — static
+    w_ref rows and a stacked dw replace the _row_select/one-hot overhead
+    that made the rolled loop the forward's 67%-slower regime (NOTES #18).
 
     The 9 taps share only 3 distinct per-axis factors; rebuilding all 4
     per tap made the VPU factor build the kernel's bottleneck on
-    small-C maps (r2 NOTES). Now each image's 6 factor pairs build ONCE
-    into VMEM scratch and the tap loop dynamically indexes them
+    small-C maps (r2 NOTES). Rolled: each image's 6 factor pairs build
+    ONCE into VMEM scratch and the tap loop dynamically indexes them
     (leading-axis ref indexing) — 6 builds instead of 36 per image."""
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -286,6 +289,38 @@ def _bwd_kernel(x_ref, s_ref, g_ref, w_ref, dx_ref, ds_ref, dw_ref,
         s = s_ref[ib]                          # (tile, 1)
         g = g_ref[ib].astype(jnp.float32)      # (tile, C)
 
+        if not rolled:
+            RY3, dRY3 = _axis_factors(s, py, qy, want_grad=True)
+            RX3, dRX3 = _axis_factors(s, px, qx, want_grad=True)
+            ds_acc = jnp.zeros((tile, 1), jnp.float32)
+            dx_acc = jnp.zeros((q_cols, c), jnp.float32)
+            dw_rows = []
+            for t, (ai, aj) in enumerate(_TAPS):
+                RY, RX = RY3[ai], RX3[aj]
+                B = RY * RX
+                tap_w = w_ref[t, :].astype(jnp.float32)[None, :]  # (1, C)
+                Gt = jnp.dot(B.T.astype(x.dtype), g.astype(x.dtype),
+                             preferred_element_type=jnp.float32)
+                dw_rows.append(jnp.sum(x.astype(jnp.float32) * Gt,
+                                       axis=0, keepdims=True))
+                dx_acc = dx_acc + Gt * tap_w
+                if (ai, aj) != (0, 0):  # center tap: D == 0
+                    D = dRY3[ai] * RX + RY * dRX3[aj]
+                    Dx = jnp.dot(D.astype(x.dtype), x,
+                                 preferred_element_type=jnp.float32)
+                    ds_acc = ds_acc + jnp.sum(Dx * (g * tap_w), axis=1,
+                                              keepdims=True)
+            dw_acc = jnp.concatenate(dw_rows, axis=0)  # (9, C)
+            ds_ref[ib] = ds_acc
+            if band_rows:
+                dx_ref[ib, pl.ds(start, q_cols)] += dx_acc.astype(
+                    dx_ref.dtype)
+            else:
+                dx_ref[ib] += dx_acc.astype(dx_ref.dtype)
+            dw_ref[...] += dw_acc
+            continue
+
+        ry_ref, dry_ref, rx_ref, drx_ref = scratch
         for k, a in enumerate((-1.0, 0.0, 1.0)):
             R, dR = _axis_factor_traced(s, py, qy, a)
             ry_ref[k], dry_ref[k] = R, dR
@@ -633,8 +668,13 @@ def _bwd_pallas_call(x_flat, s_flat, g_flat, w_kc, *, h, w_dim, tile,
     n, x_cols, c = x_flat.shape
     out_pad = s_flat.shape[1]
     q_cols = band_rows * w_dim if band_rows else x_cols
+    # the unrolled backward keeps ~12 (tile, q_cols)/(q_cols, C) f32
+    # temporaries live (Mosaic stack-allocates); gate it to small q_cols
+    # and the opt-in flag until measured on the real chip
+    rolled = not (_banded_unrolled_enabled() and q_cols <= 768)
     kernel = functools.partial(_bwd_kernel, h=h, w_dim=w_dim, tile=tile,
-                               img_block=img_block, band_rows=band_rows)
+                               img_block=img_block, rolled=rolled,
+                               band_rows=band_rows)
     return pl.pallas_call(
         kernel,
         interpret=_interpret(),
@@ -662,8 +702,8 @@ def _bwd_pallas_call(x_flat, s_flat, g_flat, w_kc, *, h, w_dim, tile,
             jax.ShapeDtypeStruct((n, out_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((9, c), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((3, tile, q_cols), jnp.float32)
-                        for _ in range(4)],
+        scratch_shapes=([pltpu.VMEM((3, tile, q_cols), jnp.float32)
+                         for _ in range(4)] if rolled else []),
     )(x_flat, s_flat, g_flat, w_kc)
 
 
@@ -687,8 +727,11 @@ def _backward_pallas(x, s, weight_kc, g, img_block=8):
     band_rows = 0
     if _use_banding(h, w_dim, min(hw, 128), x.dtype):
         # re-plan the tile against the BAND (not the full map): the band
-        # is the matrix the kernel actually builds/contracts
-        tile = _banded_tile(h, w_dim, hw, 512 * 1024)
+        # is the matrix the kernel actually builds/contracts. The unrolled
+        # backward stack-allocates ~17 (tile, band) temporaries, so it
+        # gets a smaller per-matrix budget to stay inside scoped VMEM.
+        budget = 256 * 1024 if _banded_unrolled_enabled() else 512 * 1024
+        tile = _banded_tile(h, w_dim, hw, budget)
         hw_pad = -(-hw // tile) * tile
         band_rows = _band_rows(tile, w_dim)
     s = _band_safe_s(s)  # op contract: same clamp in every regime

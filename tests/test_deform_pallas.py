@@ -152,6 +152,18 @@ def test_banded_unrolled_small_map(monkeypatch):
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    rtol=5e-3, atol=5e-3, err_msg=name)
 
+    # the flag also unrolls the backward on small DENSE maps (banding
+    # ineligible at 16x8: band would not shrink q) — grads must agree
+    x2, s2, w2 = _case((16, 8, 64), seed=8)
+    g_fast2 = jax.grad(lambda *t: jnp.sum(
+        DP.codesign_deform_conv_fast(*t) ** 2), argnums=(0, 1, 2))(
+        x2, s2, w2)
+    g_xla2 = jax.grad(lambda *t: jnp.sum(
+        codesign_deform_conv(*t) ** 2), argnums=(0, 1, 2))(x2, s2, w2)
+    for name, ga, gb in zip(("dx", "ds", "dw"), g_fast2, g_xla2):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
+
 
 def test_model_integration_interpret(monkeypatch):
     """CODENET_PALLAS_INTERPRET=1 routes CodesignDeformBlock through the

@@ -66,6 +66,58 @@ def test_ctdet_decode_matches_reference(ref_modules):
     np.testing.assert_allclose(ours_sorted, theirs_sorted, atol=1e-4)
 
 
+def test_multi_pose_decode_matches_reference(ref_modules):
+    """Guards the pooled topk/topk_channel rewrite: person boxes AND all
+    17 snapped joint locations must equal the reference's two-stage
+    selection on continuous (tie-free) inputs."""
+    ref_decode, _, _ = ref_modules
+    from codenet_tpu.models import decode as D
+    rng = np.random.RandomState(3)
+    hm = rng.rand(2, 16, 16, 1).astype(np.float32)
+    wh = (rng.rand(2, 16, 16, 2) * 8).astype(np.float32)
+    hps = ((rng.rand(2, 16, 16, 34) - 0.5) * 6).astype(np.float32)
+    reg = rng.rand(2, 16, 16, 2).astype(np.float32)
+    hm_hp = rng.rand(2, 16, 16, 17).astype(np.float32)
+    hp_off = rng.rand(2, 16, 16, 2).astype(np.float32)
+
+    ours = np.asarray(D.multi_pose_decode(
+        jnp.asarray(hm), jnp.asarray(wh), jnp.asarray(hps),
+        reg=jnp.asarray(reg), hm_hp=jnp.asarray(hm_hp),
+        hp_offset=jnp.asarray(hp_off), k=20))
+    theirs = ref_decode.multi_pose_decode(
+        _nchw(hm), _nchw(wh), _nchw(hps), reg=_nchw(reg),
+        hm_hp=_nchw(hm_hp), hp_offset=_nchw(hp_off), K=20).numpy()
+    assert ours.shape == theirs.shape == (2, 20, 40)
+    np.testing.assert_allclose(np.sort(ours[..., 4], axis=1),
+                               np.sort(theirs[..., 4], axis=1), atol=1e-5)
+    ours_sorted = ours[:, np.lexsort(ours[0].T[::-1])]
+    theirs_sorted = theirs[:, np.lexsort(theirs[0].T[::-1])]
+    np.testing.assert_allclose(ours_sorted, theirs_sorted, atol=1e-4)
+
+
+def test_ddd_decode_matches_reference(ref_modules):
+    ref_decode, _, _ = ref_modules
+    from codenet_tpu.models import decode as D
+    rng = np.random.RandomState(4)
+    hm = rng.rand(2, 16, 16, 3).astype(np.float32)
+    rot = rng.randn(2, 16, 16, 8).astype(np.float32)
+    dep = rng.rand(2, 16, 16, 1).astype(np.float32)
+    dim = rng.rand(2, 16, 16, 3).astype(np.float32)
+    wh = (rng.rand(2, 16, 16, 2) * 8).astype(np.float32)
+    reg = rng.rand(2, 16, 16, 2).astype(np.float32)
+
+    ours = np.asarray(D.ddd_decode(
+        jnp.asarray(hm), jnp.asarray(rot), jnp.asarray(dep),
+        jnp.asarray(dim), wh=jnp.asarray(wh), reg=jnp.asarray(reg), k=20))
+    theirs = ref_decode.ddd_decode(
+        _nchw(hm), _nchw(rot), _nchw(dep), _nchw(dim), wh=_nchw(wh),
+        reg=_nchw(reg), K=20).numpy()
+    assert ours.shape == theirs.shape
+    ours_sorted = ours[:, np.lexsort(ours[0].T[::-1])]
+    theirs_sorted = theirs[:, np.lexsort(theirs[0].T[::-1])]
+    np.testing.assert_allclose(ours_sorted, theirs_sorted, atol=1e-4)
+
+
 def test_focal_loss_matches_reference(ref_modules):
     _, ref_losses, _ = ref_modules
     from codenet_tpu.models import losses as L

@@ -237,8 +237,15 @@ def _directional_aggregate(heat, axis, reverse):
         acc = jnp.where(x >= carry["prev"], carry["acc"], 0.0) + x
         return {"prev": x, "acc": acc}, acc - x
 
-    init = {"prev": h[0], "acc": h[0]}
-    _, extra = jax.lax.scan(step, init, h[1:], reverse=reverse)
+    if reverse:
+        # recurrence starts at the LAST position and walks back; scan
+        # consumes xs back-to-front, ys stay aligned with xs positions
+        init = {"prev": h[-1], "acc": h[-1]}
+        xs = h[:-1]
+    else:
+        init = {"prev": h[0], "acc": h[0]}
+        xs = h[1:]
+    _, extra = jax.lax.scan(step, init, xs, reverse=reverse)
     if reverse:
         extra = jnp.concatenate([extra, jnp.zeros_like(h[:1])], axis=0)
     else:

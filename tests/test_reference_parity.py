@@ -118,6 +118,48 @@ def test_ddd_decode_matches_reference(ref_modules):
     np.testing.assert_allclose(ours_sorted, theirs_sorted, atol=1e-4)
 
 
+@pytest.mark.parametrize("agnostic", [False, True], ids=["exct", "agnex"])
+@pytest.mark.parametrize("aggr", [0.0, 0.1], ids=["noaggr", "aggr"])
+def test_exct_decode_matches_reference(ref_modules, agnostic, aggr):
+    """The K^4 extreme-point combinatorics, center-heat scoring,
+    geometric/class rejection, and the lax.scan edge aggregation vs the
+    reference's recursive _h/_v_aggregate."""
+    ref_decode, _, _ = ref_modules
+    from codenet_tpu.models import decode as D
+    rng = np.random.RandomState(5)
+    # scaled so the aggregated heats stay < 1: the min(heat, 1) clamp
+    # otherwise creates exact-tie plateaus where torch's and our top-k
+    # legitimately pick different (equal-score) extreme points
+    scale = 0.25 if aggr > 0 else 1.0
+    heats = [(rng.rand(1, 16, 16, 3) * scale).astype(np.float32)
+             for _ in range(5)]
+
+    ref_fn = ref_decode.agnex_ct_decode if agnostic else \
+        ref_decode.exct_decode
+    our_fn = D.agnex_ct_decode if agnostic else D.exct_decode
+    ours = np.asarray(our_fn(*[jnp.asarray(h) for h in heats], k=4,
+                             num_dets=40, aggr_weight=aggr))
+    ref_heats = [_nchw(h) for h in heats]
+    if aggr > 0:
+        # The reference's own aggr path crashes on modern torch (its
+        # _aggregate helpers return non-contiguous tensors and _topk's
+        # `.view` rejects them — decode.py:113). Compose its aggregate
+        # helpers (verified element-wise identical to ours) with its
+        # aggr=0 decode to express the intended semantics.
+        t, l, b, r, ct = ref_heats
+        t = ref_decode._h_aggregate(t, aggr_weight=aggr).contiguous()
+        l = ref_decode._v_aggregate(l, aggr_weight=aggr).contiguous()
+        b = ref_decode._h_aggregate(b, aggr_weight=aggr).contiguous()
+        r = ref_decode._v_aggregate(r, aggr_weight=aggr).contiguous()
+        ref_heats = [t, l, b, r, ct]
+    theirs = ref_fn(*ref_heats, K=4, num_dets=40,
+                    aggr_weight=0.0).numpy()
+    assert ours.shape == theirs.shape == (1, 40, 14)
+    ours_sorted = ours[:, np.lexsort(ours[0].T[::-1])]
+    theirs_sorted = theirs[:, np.lexsort(theirs[0].T[::-1])]
+    np.testing.assert_allclose(ours_sorted, theirs_sorted, atol=1e-4)
+
+
 def test_focal_loss_matches_reference(ref_modules):
     _, ref_losses, _ = ref_modules
     from codenet_tpu.models import losses as L

@@ -138,6 +138,18 @@ def test_multistep_state_equivalence(quantized):
         assert leaf.sharding.is_fully_replicated, leaf.sharding
 
 
+def test_spatial_shard_flag_builds_2d_mesh():
+    """--spatial_shard plumbs from the CLI flag to a (data, spatial) mesh
+    whose data axis still divides the batch."""
+    from codenet_tpu.engine.trainer import Trainer
+
+    opt = _tiny_opt("--spatial_shard 4")
+    tr = Trainer(opt)
+    assert tr.mesh.axis_names == ("data", "spatial")
+    assert tr.mesh.shape["spatial"] == 4
+    assert opt.batch_size % tr.mesh.shape["data"] == 0
+
+
 @pytest.mark.slow
 def test_spatial_shard_matches_single_device():
     """--spatial_shard: a 2x4 ('data', 'spatial') mesh — batch over 2,

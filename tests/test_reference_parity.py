@@ -366,6 +366,24 @@ def test_post_process_matches_reference():
     assert compared >= 3  # the random classes populated real rows
 
 
+def test_hard_nms_matches_reference():
+    """Greedy NMS vs the reference's pure-python baseline
+    (tools/voc_eval_lib/nms/py_cpu_nms.py — the oracle its Cython
+    cpu_nms is tested against upstream)."""
+    ref_nms = _load("ref_py_cpu_nms",
+                    REF + "/tools/voc_eval_lib/nms/py_cpu_nms.py")
+    from codenet_tpu.ops.nms import nms
+    rng = np.random.RandomState(9)
+    x1y1 = rng.rand(60, 2) * 80
+    wh = rng.rand(60, 2) * 40 + 1
+    dets = np.concatenate([x1y1, x1y1 + wh, rng.rand(60, 1)],
+                          axis=1).astype(np.float32)
+    for thresh in (0.3, 0.5, 0.7):
+        ours = list(nms(dets.copy(), thresh))
+        theirs = list(ref_nms.py_cpu_nms(dets.copy(), thresh))
+        assert ours == theirs, (thresh, ours, theirs)
+
+
 def test_gaussian_targets_match_reference():
     """Target splats vs reference lib/utils/image.py (numpy, cv2)."""
     sys.path.insert(0, REF + "/lib")

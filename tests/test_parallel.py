@@ -150,23 +150,28 @@ def test_spatial_shard_flag_builds_2d_mesh():
     assert opt.batch_size % tr.mesh.shape["data"] == 0
 
 
+@pytest.mark.parametrize("quantized", [False, True],
+                         ids=["fp32_batchstats", "qat_quantstats"])
 @pytest.mark.slow
-def test_spatial_shard_matches_single_device():
+def test_spatial_shard_matches_single_device(quantized):
     """--spatial_shard: a 2x4 ('data', 'spatial') mesh — batch over 2,
     image H over 4 (GSPMD halo-exchanges the conv boundaries) — must
-    train to the same state as one device. Covers the uint8 device-aug
-    input path too (H-sharded color aug + normalize)."""
+    train to the same state as one device, in FP32 (batch_stats over the
+    H-sharded maps) AND QAT (quant_stats min/max EMA) modes. Covers the
+    uint8 device-aug input path too (H-sharded color aug + normalize)."""
     from codenet_tpu.engine.trainer import Trainer
+    from codenet_tpu.models.layers import QuantSpec
     from codenet_tpu.parallel.mesh import get_mesh_2d
     from codenet_tpu.parallel import get_mesh, shard_batch
 
     opt = _tiny_opt()
+    qspec = QuantSpec() if quantized else None
     # 32x32 input: H shards 8 rows/device; layer0 /4 map is 8 rows
     batches = _tiny_batches(2)
 
     finals = {}
     for mesh in (get_mesh(jax.devices()[:1]), get_mesh_2d(4)):
-        tr = Trainer(opt, mesh=mesh)
+        tr = Trainer(opt, qspec=qspec, mesh=mesh)
         tr.init(rng=jax.random.PRNGKey(11))
         variables, opt_state = tr.variables, tr.opt_state
         for batch in batches:
@@ -182,8 +187,8 @@ def test_spatial_shard_matches_single_device():
     (v1, loss1), (v8, loss8) = finals[1], finals[8]
     np.testing.assert_allclose(loss1, loss8, rtol=5e-2)
     _leaves_allclose(v1["params"], v8["params"], rtol=5e-2, atol=3e-3)
-    _leaves_allclose(v1["batch_stats"], v8["batch_stats"], rtol=5e-2,
-                     atol=3e-3)
+    stats_col = "quant_stats" if quantized else "batch_stats"
+    _leaves_allclose(v1[stats_col], v8[stats_col], rtol=5e-2, atol=3e-3)
 
 
 def test_sharded_eval_matches_single_device():

@@ -110,7 +110,8 @@ class DataLoader:
                         # (an additive mix collided past 8191 batches).
                         brng = np.random.RandomState(
                             np.random.SeedSequence(
-                                (self.seed, epoch, b)).generate_state(1)[0])
+                                (self.seed & 0xFFFFFFFF, epoch, b)
+                            ).generate_state(1)[0])
                         samples = [self.dataset.get_sample(j, rng=brng)
                                    for j in batches[b]]
                     else:

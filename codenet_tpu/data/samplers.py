@@ -41,14 +41,12 @@ def finish_input(sampler, inp_u8, is_train, rng=None):
         inp = inp_u8.astype(np.float32) / 255.0
         if is_train and not opt.no_color_aug:
             color_aug(data_rng, inp, sampler._eig_val,
-                      sampler._eig_vec,
-                      py_random=None if rng is None else rng)
+                      sampler._eig_vec, py_random=rng)
         inp = (inp - sampler.mean) / sampler.std
         return {"input": inp.astype(np.float32)}
     if is_train and not opt.no_color_aug:
         perm, alphas, light = draw_color_aug_params(
-            data_rng, sampler._eig_val, sampler._eig_vec,
-            py_random=None if rng is None else rng)
+            data_rng, sampler._eig_val, sampler._eig_vec, py_random=rng)
     else:
         perm, alphas, light = identity_aug_params()
     return {"input_u8": np.ascontiguousarray(inp_u8),

@@ -583,9 +583,10 @@ def _fwd_pallas_call(x_flat, s_flat, w_kc, *, h, w_dim, tile, img_block,
     # the scoped-VMEM driver is the set of (tile, q_cols) tap matrices the
     # unrolled loop keeps live (~15 x tile*q_cols*4B incl. shared factors);
     # beyond q_cols=1024 that approaches the 16 MB limit, so roll the loop.
-    # Small-map bands (q_cols <= 1024, CODENET_BANDED_UNROLLED) stay
-    # unrolled: the band cuts MACs 28% and the rolled overhead would eat it
-    rolled = q_cols > 1024
+    # Banded kernels stay rolled UNLESS the opt-in flag asks for the
+    # unrolled small-band regime (untested on real hardware otherwise)
+    rolled = q_cols > 1024 or (band_rows > 0
+                               and not _banded_unrolled_enabled())
     kernel = functools.partial(_fwd_kernel, h=h, w_dim=w_dim, tile=tile,
                                img_block=img_block, rolled=rolled,
                                band_rows=band_rows)
@@ -728,10 +729,15 @@ def _backward_pallas(x, s, weight_kc, g, img_block=8):
     if _use_banding(h, w_dim, min(hw, 128), x.dtype):
         # re-plan the tile against the BAND (not the full map): the band
         # is the matrix the kernel actually builds/contracts. The unrolled
-        # backward stack-allocates ~17 (tile, band) temporaries, so it
-        # gets a smaller per-matrix budget to stay inside scoped VMEM.
-        budget = 256 * 1024 if _banded_unrolled_enabled() else 512 * 1024
-        tile = _banded_tile(h, w_dim, hw, budget)
+        # backward stack-allocates ~17 (tile, band) temporaries, so when
+        # it will actually be used (flag on AND the band is small enough
+        # that _bwd_pallas_call picks the unrolled kernel) the tile gets
+        # a smaller per-matrix budget to stay inside scoped VMEM; rolled
+        # maps must NOT pay the halved tile (more grid steps for nothing).
+        tile = _banded_tile(h, w_dim, hw, 512 * 1024)
+        if (_banded_unrolled_enabled()
+                and _band_rows(tile, w_dim) * w_dim <= 768):
+            tile = _banded_tile(h, w_dim, hw, 256 * 1024)
         hw_pad = -(-hw // tile) * tile
         band_rows = _band_rows(tile, w_dim)
     s = _band_safe_s(s)  # op contract: same clamp in every regime
@@ -786,12 +792,15 @@ def _bwd(res, g):
     h, w_dim = x.shape[1], x.shape[2]
     if (h * w_dim > _BWD_MAX_HW
             and not _use_banding(h, w_dim, min(h * w_dim, 128), x.dtype)):
-        # clamp INSIDE the vjp so ds is masked beyond the contract range,
-        # matching the Pallas branch below
         _, vjp = jax.vjp(lambda x_, s_, w_: _xla_impl(x_, _band_safe_s(s_),
                                                       w_),
                          x, s, weight)
-        return vjp(g)
+        dx, ds, dw = vjp(g)
+        # same STRICT interior mask as the Pallas branch — clip's own vjp
+        # gives a nonzero tie gradient at exactly s == _S_LO/_S_HI, which
+        # would make the op's boundary gradient regime-dependent
+        ds = jnp.where((s > _S_LO) & (s < _S_HI), ds, 0.0).astype(s.dtype)
+        return dx, ds, dw
     c = weight.shape[-1]
     dx, ds, dw = _backward_pallas(x, s, weight.reshape(9, c), g)
     # zero gradient where the op-boundary clamp was active (Hardtanh-like)
@@ -822,7 +831,9 @@ def _xla_bwd(res, g):
     x, s, weight = res
     _, vjp = jax.vjp(lambda x_, s_, w_: _xla_impl(x_, _band_safe_s(s_), w_),
                      x, s, weight)
-    return vjp(g)
+    dx, ds, dw = vjp(g)
+    ds = jnp.where((s > _S_LO) & (s < _S_HI), ds, 0.0).astype(s.dtype)
+    return dx, ds, dw
 
 
 _xla_grad_op.defvjp(_xla_fwd, _xla_bwd)

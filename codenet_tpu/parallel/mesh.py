@@ -58,7 +58,10 @@ def get_mesh_2d(spatial, batch_size=None, devices=None):
     get_mesh_for_batch)."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
-    assert n % spatial == 0, (n, spatial)
+    if n % spatial != 0:
+        raise ValueError(
+            f"--spatial_shard {spatial} does not divide the device count "
+            f"{n}; pick a divisor of the number of chips")
     nd = n // spatial
     if batch_size is not None:
         while nd > 1 and batch_size % nd != 0:
@@ -88,8 +91,17 @@ def shard_batch(mesh, batch, axis_name="data"):
     spatial = "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1
     out = {}
     for k, a in batch.items():
-        if (spatial and k in _SPATIAL_FIELDS
-                and a.shape[1] % mesh.shape["spatial"] == 0):
+        if spatial and k in _SPATIAL_FIELDS:
+            if a.shape[1] % mesh.shape["spatial"] != 0:
+                # degrading to data-only parallelism must not be silent
+                import warnings
+                warnings.warn(
+                    f"spatial_shard: image H={a.shape[1]} is not divisible "
+                    f"by the spatial axis ({mesh.shape['spatial']}); '{k}' "
+                    "is replicated over 'spatial' for this batch",
+                    stacklevel=2)
+                out[k] = jax.device_put(a, s)
+                continue
             sp = NamedSharding(mesh, P(axis_name, "spatial"))
             out[k] = jax.device_put(a, sp)
         else:

@@ -107,7 +107,7 @@ def build(res=256, w2=False, batch=128, dtype="bf16", heads=None):
     m = Model(batch, dtype)
 
     hw4 = _p(res, 4) ** 2
-    m.conv("layer0 3x3s4 3->%d" % ch[0], hw4, 3 * 16 // 3, ch[0], k=3)
+    m.conv("layer0 3x3s4 3->%d" % ch[0], hw4, 3, ch[0], k=3)
 
     # stages: stride-2 node + N stride-1 nodes. Stride-1 node (half the
     # channels through branch2): pw(c/2), dw3x3(c/2), pw(c/2).

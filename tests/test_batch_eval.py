@@ -70,6 +70,7 @@ def test_batched_falls_back_on_multiscale(voc_root, capsys):
     assert out is not None
 
 
+@pytest.mark.slow
 def test_device_warp_matches_host_warp(voc_root):
     """--device_warp runs the letterbox warp inside the fused program
     (VERDICT r2 next-#6); boxes must match the cv2 host-warp path within

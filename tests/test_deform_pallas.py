@@ -128,6 +128,7 @@ def test_pallas_backward_under_jit_and_integer_scales():
                                    rtol=5e-3, atol=5e-3, err_msg=name)
 
 
+@pytest.mark.slow
 def test_banded_unrolled_small_map(monkeypatch):
     """CODENET_BANDED_UNROLLED=1 bands the forward on small (<=1024 pos)
     maps with the tap loop still unrolled (PERF.md headroom #1); outputs

@@ -191,6 +191,7 @@ def test_spatial_shard_matches_single_device(quantized):
     _leaves_allclose(v1[stats_col], v8[stats_col], rtol=5e-2, atol=3e-3)
 
 
+@pytest.mark.slow
 def test_sharded_eval_matches_single_device():
     """8-device sharded detector batch == single-device outputs (the eval
     analogue of the train-step test)."""

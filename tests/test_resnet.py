@@ -10,6 +10,7 @@ import torch.nn.functional as F
 from codenet_tpu.models import create_model
 
 
+@pytest.mark.slow
 def test_res18_forward_shapes():
     model = create_model("res_18", {"hm": 20, "wh": 2, "reg": 2}, 64)
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)

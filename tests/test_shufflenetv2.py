@@ -44,6 +44,7 @@ def test_forward_shapes_256():
     np.testing.assert_allclose(np.asarray(cs["bias"]), 1.0)
 
 
+@pytest.mark.slow
 def test_maxpool_variant_same_output_stride():
     model = create_model("shufflenetv2", HEADS, 64, maxpool=True)
     x = jnp.zeros((1, 256, 256, 3), jnp.float32)

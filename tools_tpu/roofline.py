@@ -150,8 +150,11 @@ def build(res=256, w2=False, batch=128, dtype="bf16", heads=None):
         cin = p
 
     hw_out = _p(res, 4) ** 2
+    # heads: 1x1(64->head_conv) + dw3x3 + 1x1(->classes)
+    # (models/shufflenetv2.py Head / reference shufflenetv2_dcn.py:244-271)
     for name, classes in heads.items():
-        m.conv("head_%s 3x3 64->64" % name, hw_out, 64, 64, k=3)
+        m.conv("head_%s 1x1 64->64" % name, hw_out, 64, 64)
+        m.dwconv("head_%s dw3x3" % name, hw_out, 64)
         m.conv("head_%s 1x1 64->%d" % (name, classes), hw_out, 64, classes)
     return m
 

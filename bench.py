@@ -59,9 +59,11 @@ def bench_infer(input_res=256, batches=(64, 128, 256), iters=100, warm=30,
                 lambda p, v: v - 4.0 if "x_min" in str(p) else v + 4.0,
                 variables["quant_stats"])
 
+        from codenet_tpu.models.fused_heads import eval_forward
+
         @jax.jit
         def infer(images, variables=variables):
-            out = model.apply(variables, images, train=False)
+            out = eval_forward(model, variables, images, qspec=qspec)
             hm = jax.nn.sigmoid(out["hm"])
             dets = D.ctdet_decode(hm, out["wh"], out["reg"], k=100)
             return jnp.sum(dets[..., 4])
@@ -150,9 +152,11 @@ def bench_infer_multipose(input_res=256, batch=128, iters=60, warm=20):
                     .astype(np.float32))
     variables = model.init(jax.random.PRNGKey(0), x[:1])
 
+    from codenet_tpu.models.fused_heads import eval_forward
+
     @jax.jit
     def infer(images):
-        out = model.apply(variables, images, train=False)
+        out = eval_forward(model, variables, images)
         dets = D.multi_pose_decode(
             jax.nn.sigmoid(out["hm"]), out["wh"], out["hps"],
             reg=out["reg"], hm_hp=jax.nn.sigmoid(out["hm_hp"]),

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 from ..data.affine import get_affine_transform
 from ..models import create_model
+from ..models.fused_heads import eval_forward
 from ..models import decode as D
 from ..models.layers import QuantSpec
 from ..ops.nms import soft_nms
@@ -227,9 +228,8 @@ class CtdetDetector(BaseDetector):
 
         def _process(variables, images, trans_inv, inv_scale=1.0):
             images = eval_input(images, self.mean, self.std)
-            out = model.apply(variables, images, train=False)
-            outputs = out if isinstance(out, (list, tuple)) else [out]
-            output = outputs[-1]
+            output = eval_forward(model, variables, images,
+                                  qspec=self.qspec)
             hm = jax.nn.sigmoid(output["hm"])
             wh = output["wh"]
             reg = output["reg"] if reg_offset else None
@@ -279,9 +279,8 @@ class CtdetDetector(BaseDetector):
             return _process_batch_normalized(variables, images, trans_inv)
 
         def _process_batch_normalized(variables, images, trans_inv):
-            out = model.apply(variables, images, train=False)
-            outputs = out if isinstance(out, (list, tuple)) else [out]
-            output = outputs[-1]
+            output = eval_forward(model, variables, images,
+                                  qspec=self.qspec)
             hm = jax.nn.sigmoid(output["hm"])
             wh = output["wh"]
             reg = output["reg"] if reg_offset else None
@@ -430,9 +429,8 @@ class DddDetector(BaseDetector):
 
         def _process(variables, images):
             images = eval_input(images, self.mean, self.std)
-            out = model.apply(variables, images, train=False)
-            outputs = out if isinstance(out, (list, tuple)) else [out]
-            output = outputs[-1]
+            output = eval_forward(model, variables, images,
+                                  qspec=self.qspec)
             hm = jax.nn.sigmoid(output["hm"])
             dep = 1.0 / (jax.nn.sigmoid(output["dep"]) + 1e-6) - 1.0
             wh = output["wh"] if reg_bbox else None
@@ -504,9 +502,8 @@ class MultiPoseDetector(BaseDetector):
 
         def _process(variables, images):
             images = eval_input(images, self.mean, self.std)
-            out = model.apply(variables, images, train=False)
-            outputs = out if isinstance(out, (list, tuple)) else [out]
-            output = outputs[-1]
+            output = eval_forward(model, variables, images,
+                                  qspec=self.qspec)
             hm = jax.nn.sigmoid(output["hm"])
             hm_hp = output.get("hm_hp") if hm_hp_on else None
             if hm_hp is not None and not mse_loss:
@@ -572,9 +569,8 @@ class ExdetDetector(BaseDetector):
 
         def _process(variables, images):
             images = eval_input(images, self.mean, self.std)
-            out = model.apply(variables, images, train=False)
-            outputs = out if isinstance(out, (list, tuple)) else [out]
-            output = outputs[-1]
+            output = eval_forward(model, variables, images,
+                                  qspec=self.qspec)
             heats = {p: jax.nn.sigmoid(output["hm_{}".format(p)])
                      for p in ("t", "l", "b", "r", "c")}
             regrs = [output.get("reg_{}".format(p)) if reg_offset else None

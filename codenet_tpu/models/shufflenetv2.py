@@ -172,7 +172,11 @@ class PoseShuffleNetV2(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, update_stats: bool = False):
+    def __call__(self, x, train: bool = False, update_stats: bool = False,
+                 return_neck: bool = False):
+        """return_neck=True stops after the deconv stage and returns the
+        (N, H/4, W/4, 64) neck features — the fused-heads eval path
+        (models/fused_heads.py) computes all heads in one pass from it."""
         q = self.qspec
         # channels (reference shufflenetv2_dcn.py:199-202)
         channels = [24, 244, 488, 976, 2153] if self.w2 \
@@ -221,6 +225,8 @@ class PoseShuffleNetV2(nn.Module):
                 y, update=update_stats)
             y = qt_spatial(upsample_nearest_2x, y)
 
+        if return_neck:
+            return y
         out = {}
         for name, classes in self.heads:
             out[name] = Head(classes, self.head_conv, is_hm="hm" in name,

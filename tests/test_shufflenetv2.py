@@ -74,6 +74,36 @@ def test_param_count_matches_model_size():
     assert 1.0e6 < n_params < 2.5e6, n_params
 
 
+@pytest.mark.parametrize("dtype", [None, "bf16"])
+def test_fused_heads_match_per_head_path(dtype):
+    """models/fused_heads.py: the widened one-pass head pipeline (heads
+    read the neck ONCE — PERF.md headroom #3) must reproduce the
+    per-head Head outputs exactly; detectors and bench route through it
+    in non-quant eval."""
+    import jax.numpy as jnp
+    from codenet_tpu.models.fused_heads import eval_forward, can_fuse_heads
+
+    dt = jnp.bfloat16 if dtype == "bf16" else None
+    heads = {"hm": 20, "wh": 2, "reg": 2}
+    model = create_model("shufflenetv2", heads, 64, dtype=dt)
+    x = jnp.asarray(np.random.RandomState(0)
+                    .randn(2, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x[:1])
+    assert can_fuse_heads(model, None)
+    ref = model.apply(variables, x, train=False)
+    fused = eval_forward(model, variables, x)
+    tol = 1e-5 if dt is None else 1e-2
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(ref[k]),
+                                   np.asarray(fused[k]),
+                                   rtol=tol, atol=tol, err_msg=k)
+
+    # quant mode must NOT fuse (per-head activation ranges)
+    from codenet_tpu.models.layers import QuantSpec
+    qmodel = create_model("shufflenetv2", heads, 64, qspec=QuantSpec())
+    assert not can_fuse_heads(qmodel, QuantSpec())
+
+
 @pytest.mark.slow
 def test_quant_mode_same_param_tree_and_forward():
     q = QuantSpec()

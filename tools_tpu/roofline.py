@@ -101,7 +101,8 @@ class Model:
         self.add(name, vpu_ops=float(hw_out * c), bytes_=by, useful=0.0)
 
 
-def build(res=256, w2=False, batch=128, dtype="bf16", heads=None):
+def build(res=256, w2=False, batch=128, dtype="bf16", heads=None,
+          fused_heads=False):
     heads = heads or {"hm": 20, "wh": 2, "reg": 2}
     ch = [24, 244, 488, 976, 2153] if w2 else [24, 116, 232, 464, 1024]
     m = Model(batch, dtype)
@@ -152,10 +153,19 @@ def build(res=256, w2=False, batch=128, dtype="bf16", heads=None):
     hw_out = _p(res, 4) ** 2
     # heads: 1x1(64->head_conv) + dw3x3 + 1x1(->classes)
     # (models/shufflenetv2.py Head / reference shufflenetv2_dcn.py:244-271)
-    for name, classes in heads.items():
-        m.conv("head_%s 1x1 64->64" % name, hw_out, 64, 64)
-        m.dwconv("head_%s dw3x3" % name, hw_out, 64)
-        m.conv("head_%s 1x1 64->%d" % (name, classes), hw_out, 64, classes)
+    if fused_heads:
+        # models/fused_heads.py: one widened pipeline, neck read once
+        nh = len(heads)
+        cmax = max(heads.values())
+        m.conv("heads(fused) 1x1 64->%d" % (64 * nh), hw_out, 64, 64 * nh)
+        m.dwconv("heads(fused) dw3x3", hw_out, 64 * nh)
+        m.conv("heads(fused) grouped 1x1", hw_out, 64, cmax * nh)
+    else:
+        for name, classes in heads.items():
+            m.conv("head_%s 1x1 64->64" % name, hw_out, 64, 64)
+            m.dwconv("head_%s dw3x3" % name, hw_out, 64)
+            m.conv("head_%s 1x1 64->%d" % (name, classes), hw_out, 64,
+                   classes)
     return m
 
 
@@ -206,8 +216,12 @@ def main():
     ap.add_argument("--w2", action="store_true")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--train", action="store_true")
+    ap.add_argument("--fused_heads", action="store_true",
+                    help="model the fused-heads eval path "
+                         "(models/fused_heads.py; eval default)")
     a = ap.parse_args()
-    m = build(res=a.res, w2=a.w2, batch=a.batch, dtype=a.dtype)
+    m = build(res=a.res, w2=a.w2, batch=a.batch, dtype=a.dtype,
+              fused_heads=a.fused_heads)
     label = "%d^2 %s b%d %s" % (a.res, "w2" if a.w2 else "w1", a.batch,
                                 a.dtype)
     if a.train:

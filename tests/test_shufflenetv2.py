@@ -84,7 +84,10 @@ def test_fused_heads_match_per_head_path(dtype):
     from codenet_tpu.models.fused_heads import eval_forward, can_fuse_heads
 
     dt = jnp.bfloat16 if dtype == "bf16" else None
-    heads = {"hm": 20, "wh": 2, "reg": 2}
+    # exdet's 9-head layout in the bf16 case — every detector fuses
+    heads = {"hm": 20, "wh": 2, "reg": 2} if dtype is None else {
+        "hm_t": 3, "hm_l": 3, "hm_b": 3, "hm_r": 3, "hm_c": 3,
+        "reg_t": 2, "reg_l": 2, "reg_b": 2, "reg_r": 2}
     model = create_model("shufflenetv2", heads, 64, dtype=dt)
     x = jnp.asarray(np.random.RandomState(0)
                     .randn(2, 64, 64, 3).astype(np.float32))

@@ -245,7 +245,11 @@ def main():
         # still emit a parseable line documenting WHY there is no number
         print(json.dumps({"metric": "ctdet_inference_throughput_256",
                           "value": None, "unit": "images/sec/chip",
-                          "error": "tpu_unavailable_after_probe_window"}))
+                          "error": "tpu_unavailable_after_probe_window",
+                          "note": "last measured numbers: BENCH_r02.json +"
+                                  " NOTES.md #18 (19,476 bf16 / 20,234"
+                                  " int8 / 3,644 train); unmeasured"
+                                  " changes pending: NOTES.md #19-#25"}))
         sys.exit(1)
 
     t0 = time.time()

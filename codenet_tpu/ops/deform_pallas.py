@@ -582,11 +582,13 @@ def _fwd_pallas_call(x_flat, s_flat, w_kc, *, h, w_dim, tile, img_block,
     q_cols = band_rows * w_dim if band_rows else x_cols
     # the scoped-VMEM driver is the set of (tile, q_cols) tap matrices the
     # unrolled loop keeps live (~15 x tile*q_cols*4B incl. shared factors);
-    # beyond q_cols=1024 that approaches the 16 MB limit, so roll the loop.
-    # Banded kernels stay rolled UNLESS the opt-in flag asks for the
-    # unrolled small-band regime (untested on real hardware otherwise)
-    rolled = q_cols > 1024 or (band_rows > 0
-                               and not _banded_unrolled_enabled())
+    # past _fwd_unroll_qmax that approaches the 16 MB limit (the planner
+    # shrinks the tile first — see _forward_pallas), so roll the loop.
+    # Banded kernels roll only when the unrolled small-band regime is
+    # disabled (CODENET_BANDED_UNROLLED=0) — unrolled measured faster on
+    # every engaging shape (see _banded_unrolled_enabled)
+    rolled = q_cols > _fwd_unroll_qmax() or (
+        band_rows > 0 and not _banded_unrolled_enabled())
     kernel = functools.partial(_fwd_kernel, h=h, w_dim=w_dim, tile=tile,
                                img_block=img_block, rolled=rolled,
                                band_rows=band_rows)
@@ -611,12 +613,36 @@ def _fwd_pallas_call(x_flat, s_flat, w_kc, *, h, w_dim, tile, img_block,
 
 
 def _banded_unrolled_enabled():
-    """Opt-in (PERF.md headroom #1): band the forward on SMALL maps too
-    (32x32: q_cols 1024 -> 736, -28% MACs and factor-build ops) where the
-    band still fits the unrolled tap loop — avoiding the rolled-loop
-    overhead that made rolled banding 67% slower there (NOTES #18).
-    Off by default until measured on the real chip."""
-    return os.environ.get("CODENET_BANDED_UNROLLED", "") == "1"
+    """Banded-unrolled regime (PERF.md headroom #1): band the forward on
+    SMALL maps too (32x32: q_cols 1024 -> 736, -28% MACs and factor-build
+    ops) where the band still fits the unrolled tap loop — avoiding the
+    rolled-loop overhead that made rolled banding 67% slower there
+    (NOTES #18). ON by default: measured on v5e (batch 128, bf16) it wins
+    everywhere it engages — fwd+bwd deconv2 8.81->6.67 ms, deconv1
+    1.91->1.19, deconv0 1.17->0.75; fwd-only deconv2 2.64->2.35
+    (tools_tpu/layer_bench.py deform). CODENET_BANDED_UNROLLED=0 restores
+    the rolled kernels."""
+    return os.environ.get("CODENET_BANDED_UNROLLED", "1") != "0"
+
+
+def _fwd_unroll_qmax():
+    """Max q (band/map) columns the unrolled FORWARD tap loop accepts;
+    beyond it the loop rolls. Default 1408 admits the 64-wide w2/512²
+    bands (1280 cols at the shrunk tile 64: v5e measured 13.6 vs 22.2 ms
+    rolled at batch 128 bf16) while keeping 128-wide maps (2560 cols)
+    rolled. Raising it further needs a matching tile shrink or the ~15
+    stack-allocated (tile, q) f32 temporaries blow the 16 MB scoped-VMEM
+    limit (64 x 1408 x 4B x 15 = 5.4 MB today)."""
+    return int(os.environ.get("CODENET_UNROLL_FWD_QMAX", "1408"))
+
+
+def _bwd_unroll_qmax():
+    """Max band columns the unrolled BACKWARD tap loop accepts (~17
+    stack-allocated (tile, q) f32 temporaries live; tile shrinks to 32
+    past the 256 KB per-matrix budget, so 1408 cols = 3.1 MB). Default
+    1408 admits the 64-wide w2/512² bands — v5e measured 57.3 vs 75.8 ms
+    (vjp program, batch 128 bf16) at band 1280."""
+    return int(os.environ.get("CODENET_UNROLL_BWD_QMAX", "1408"))
 
 
 def _forward_pallas(x, s, weight_kc, img_block=8):
@@ -637,6 +663,12 @@ def _forward_pallas(x, s, weight_kc, img_block=8):
                 x, img_block, 1024 * 1024,
                 tile_budget_bytes=None, assume_f32=True)
             tile = _banded_tile(h, w_dim, hw, 1024 * 1024)
+            if (_banded_unrolled_enabled()
+                    and _band_rows(tile, w_dim) * w_dim
+                    <= _fwd_unroll_qmax()):
+                # unrolled tap loop will engage: halve the per-matrix
+                # budget so its ~15 stack temporaries stay inside VMEM
+                tile = _banded_tile(h, w_dim, hw, 512 * 1024)
             hw_pad = -(-hw // tile) * tile
             band_rows = _band_rows(tile, w_dim)
         else:
@@ -671,8 +703,9 @@ def _bwd_pallas_call(x_flat, s_flat, g_flat, w_kc, *, h, w_dim, tile,
     q_cols = band_rows * w_dim if band_rows else x_cols
     # the unrolled backward keeps ~12 (tile, q_cols)/(q_cols, C) f32
     # temporaries live (Mosaic stack-allocates); gate it to small q_cols
-    # and the opt-in flag until measured on the real chip
-    rolled = not (_banded_unrolled_enabled() and q_cols <= 768)
+    # (default-on past that gate — measured faster on every engaging shape)
+    rolled = not (_banded_unrolled_enabled()
+                  and q_cols <= _bwd_unroll_qmax())
     kernel = functools.partial(_bwd_kernel, h=h, w_dim=w_dim, tile=tile,
                                img_block=img_block, rolled=rolled,
                                band_rows=band_rows)
@@ -736,7 +769,7 @@ def _backward_pallas(x, s, weight_kc, g, img_block=8):
         # maps must NOT pay the halved tile (more grid steps for nothing).
         tile = _banded_tile(h, w_dim, hw, 512 * 1024)
         if (_banded_unrolled_enabled()
-                and _band_rows(tile, w_dim) * w_dim <= 768):
+                and _band_rows(tile, w_dim) * w_dim <= _bwd_unroll_qmax()):
             tile = _banded_tile(h, w_dim, hw, 256 * 1024)
         hw_pad = -(-hw // tile) * tile
         band_rows = _band_rows(tile, w_dim)

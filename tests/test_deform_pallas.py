@@ -129,11 +129,14 @@ def test_pallas_backward_under_jit_and_integer_scales():
 
 
 @pytest.mark.slow
-def test_banded_unrolled_small_map(monkeypatch):
-    """CODENET_BANDED_UNROLLED=1 bands the forward on small (<=1024 pos)
-    maps with the tap loop still unrolled (PERF.md headroom #1); outputs
-    and gradients must match the default dense regime / XLA exactly."""
-    monkeypatch.setenv("CODENET_BANDED_UNROLLED", "1")
+@pytest.mark.parametrize("flag", ["1", "0"])
+def test_banded_unrolled_small_map(monkeypatch, flag):
+    """CODENET_BANDED_UNROLLED=1 (the default since the v5e measurement —
+    see _banded_unrolled_enabled) bands the forward on small (<=1024 pos)
+    maps with the tap loop still unrolled (PERF.md headroom #1); "0" is
+    the rolled opt-out. Both regimes' outputs and gradients must match
+    the XLA reference exactly."""
+    monkeypatch.setenv("CODENET_BANDED_UNROLLED", flag)
     rng = np.random.RandomState(7)
     x = jnp.asarray(rng.randn(2, 32, 32, 64).astype(np.float32))
     s = jnp.asarray(rng.uniform(-7.0, 8.0, (2, 32, 32, 1))
@@ -162,6 +165,23 @@ def test_banded_unrolled_small_map(monkeypatch):
     g_xla2 = jax.grad(lambda *t: jnp.sum(
         codesign_deform_conv(*t) ** 2), argnums=(0, 1, 2))(x2, s2, w2)
     for name, ga, gb in zip(("dx", "ds", "dw"), g_fast2, g_xla2):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)
+
+    # 64-wide maps (the w2/512² shapes) band at 1280 cols — inside the
+    # default unrolled gates (qmax 1408) only when flag=1; both regimes
+    # must match XLA (fwd + grads)
+    x3, s3, w3 = _case((64, 64, 8), seed=9)
+    a3 = np.asarray(codesign_deform_conv(
+        x3, s3, w3, precision=jax.lax.Precision.HIGHEST))
+    b3 = np.asarray(DP.codesign_deform_conv_fast(x3, s3, w3))
+    np.testing.assert_allclose(a3, b3, rtol=2e-3, atol=2e-3)
+    g_fast3 = jax.grad(lambda *t: jnp.sum(
+        DP.codesign_deform_conv_fast(*t) ** 2), argnums=(0, 1, 2))(
+        x3, s3, w3)
+    g_xla3 = jax.grad(lambda *t: jnp.sum(
+        codesign_deform_conv(*t) ** 2), argnums=(0, 1, 2))(x3, s3, w3)
+    for name, ga, gb in zip(("dx", "ds", "dw"), g_fast3, g_xla3):
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
                                    rtol=5e-3, atol=5e-3, err_msg=name)
 

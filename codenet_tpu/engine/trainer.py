@@ -59,6 +59,12 @@ def make_train_step(model, loss_fn, loss_opts, tx, quantized, mean, std,
     targets render on device (resolve_targets).
     """
 
+    import os
+
+    from ..models.fused_heads import apply_fused_heads_train, can_fuse_heads
+    fuse = (not quantized) and can_fuse_heads(model, None) \
+        and os.environ.get("CODENET_FUSED_TRAIN_HEADS", "1") == "1"
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(variables, opt_state, batch):
         params = variables["params"]
@@ -72,6 +78,16 @@ def make_train_step(model, loss_fn, loss_opts, tx, quantized, mean, std,
                 out, updates = model.apply(
                     model_vars, inp, train=False,
                     update_stats=True, mutable=["quant_stats"])
+            elif fuse:
+                # one widened head pipeline reading the neck once
+                # (models/fused_heads.py — bit-identical per-channel BN)
+                neck, updates = model.apply(
+                    model_vars, inp, train=True, return_neck=True,
+                    mutable=["batch_stats"])
+                out, head_updates = apply_fused_heads_train(
+                    model_vars, neck, model.heads, dtype=model.dtype)
+                updates = {"batch_stats": {
+                    **dict(updates["batch_stats"]), **head_updates}}
             else:
                 out, updates = model.apply(
                     model_vars, inp, train=True,
@@ -91,11 +107,23 @@ def make_train_step(model, loss_fn, loss_opts, tx, quantized, mean, std,
 
 def make_val_step(model, loss_fn, loss_opts, mean, std, down_ratio=4,
                   num_classes=None):
+    from ..models.fused_heads import apply_fused_heads, can_fuse_heads
+    fuse = can_fuse_heads(model, None)
+
     @jax.jit
     def val_step(variables, batch):
         inp = model_input(batch, mean, std)
         batch = resolve_targets(batch, inp, down_ratio, num_classes)
-        out = model.apply(variables, inp, train=False)
+        if fuse:
+            # single-stack models read the neck once (fused heads);
+            # multi-stack models keep the full apply so val losses still
+            # cover every stack (intermediate supervision)
+            neck = model.apply(variables, inp, train=False,
+                               return_neck=True)
+            out = apply_fused_heads(variables, neck, model.heads,
+                                    dtype=model.dtype)
+        else:
+            out = model.apply(variables, inp, train=False)
         outputs = out if isinstance(out, (list, tuple)) else [out]
         _, stats = loss_fn(outputs, batch, loss_opts)
         return stats

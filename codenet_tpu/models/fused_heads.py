@@ -12,8 +12,11 @@ stays the separate post-conv f32 elementwise op it is in ConvBN (no
 fold-into-kernel rounding differences).
 
 Reads the UNCHANGED per-head param tree (checkpoint layout untouched);
-eval-only (BN running stats), FP32/bf16 only — quant modes keep the
-per-head QuantAct ranges and stay on the reference-shaped path.
+FP32/bf16 only — quant modes keep the per-head QuantAct ranges and stay
+on the reference-shaped path. `apply_fused_heads` is the eval form (BN
+running stats); `apply_fused_heads_train` is the train form (batch
+stats + running-stat updates — exact, since BN statistics are
+per-channel and channel concatenation preserves them).
 """
 
 from __future__ import annotations
@@ -98,6 +101,93 @@ def apply_fused_heads(variables, neck, heads, dtype=None):
     for i, (n, c) in enumerate(heads):
         out[n] = out_all[..., i * cmax:i * cmax + c]
     return out
+
+
+def apply_fused_heads_train(variables, neck, heads, dtype=None,
+                            momentum=0.1, eps=1e-5):
+    """Train-mode fused heads: same widened pipeline, BN on BATCH stats.
+
+    BatchNorm is per-channel, so batch mean/var computed over the
+    concatenated conv outputs are exactly the per-head statistics — the
+    fusion is bit-identical in train mode too (torch momentum-0.1 /
+    unbiased running-var semantics of layers.ConvBN preserved). Returns
+    (outputs, batch_stats_updates) where the updates tree mirrors the
+    per-head ``{head_X: {conv1: {mean, var}, conv2: {...}}}`` layout so
+    the trainer can merge it with the backbone's mutated collection.
+    """
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    names = [n for n, _ in heads]
+    nh = len(names)
+
+    def cat(getter):
+        return jnp.concatenate([getter(params[f"head_{n}"]) for n in names],
+                               axis=-1)
+
+    def bn_train(y, sub):
+        y32 = y.astype(jnp.float32)
+        mean = jnp.mean(y32, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(y32 - mean[None, None, None, :]),
+                       axis=(0, 1, 2))
+        n = y.shape[0] * y.shape[1] * y.shape[2]
+        unbiased = var * n / max(n - 1, 1)
+        gamma = jnp.concatenate(
+            [params[f"head_{n}"][sub]["scale"] for n in names])
+        beta = jnp.concatenate(
+            [params[f"head_{n}"][sub]["bias"] for n in names])
+        inv = jax.lax.rsqrt(var + eps)
+        out = (y32 - mean[None, None, None, :]) \
+            * (gamma * inv)[None, None, None, :] \
+            + beta[None, None, None, :]
+        return out, mean, unbiased
+
+    hc = params[f"head_{names[0]}"]["conv1"]["kernel"].shape[-1]
+
+    k1 = cat(lambda p: p["conv1"]["kernel"])
+    y = conv2d(neck, k1, stride=1, padding=0, dtype=dtype)
+    y, m1, v1 = bn_train(y, "conv1")
+    y = jax.nn.relu(y)
+
+    k2 = cat(lambda p: p["conv2"]["kernel"])
+    y = conv2d(y, k2, stride=1, padding=1, groups=hc * nh, dtype=dtype)
+    y, m2, v2 = bn_train(y, "conv2")
+    y = jax.nn.relu(y)
+
+    classes = [c for _, c in heads]
+    cmax = max(classes)
+    kos, bos = [], []
+    for n, c in heads:
+        ko = params[f"head_{n}"]["out"]["kernel"]
+        bo = params[f"head_{n}"]["out"]["bias"]
+        if c < cmax:
+            ko = jnp.pad(ko, ((0, 0), (0, 0), (0, 0), (0, cmax - c)))
+            bo = jnp.pad(bo, ((0, cmax - c),))
+        kos.append(ko)
+        bos.append(bo)
+    ko = jnp.concatenate(kos, axis=-1)
+    bo = jnp.concatenate(bos, axis=-1)
+    out_all = conv2d(y, ko, stride=1, padding=0, groups=nh, dtype=dtype)
+    out_all = out_all + bo.astype(out_all.dtype)[None, None, None, :]
+    out_all = out_all.astype(jnp.float32)
+
+    out, updates = {}, {}
+    for i, (n, c) in enumerate(heads):
+        out[n] = out_all[..., i * cmax:i * cmax + c]
+        old = stats[f"head_{n}"]
+        sl = slice(i * hc, (i + 1) * hc)
+        updates[f"head_{n}"] = {
+            "conv1": {
+                "mean": (1 - momentum) * old["conv1"]["mean"]
+                        + momentum * m1[sl],
+                "var": (1 - momentum) * old["conv1"]["var"]
+                       + momentum * v1[sl]},
+            "conv2": {
+                "mean": (1 - momentum) * old["conv2"]["mean"]
+                        + momentum * m2[sl],
+                "var": (1 - momentum) * old["conv2"]["var"]
+                       + momentum * v2[sl]},
+        }
+    return out, updates
 
 
 def eval_forward(model, variables, images, qspec=None):

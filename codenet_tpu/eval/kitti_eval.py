@@ -49,7 +49,8 @@ def _get_lib():
         _lib.kitti_evaluate.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_long),
-            ctypes.c_long, ctypes.POINTER(ctypes.c_double)]
+            ctypes.c_long, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double)]
     return _lib
 
 
@@ -77,8 +78,15 @@ def parse_label_file(path, is_gt):
     return np.array(rows, dtype=np.float64).reshape(-1, _RECORD)
 
 
-def evaluate_records(gts_per_image, dets_per_image):
-    """gts/dets: lists of (M_i, 16) float64 arrays (same length)."""
+def evaluate_records(gts_per_image, dets_per_image, return_curves=False):
+    """gts/dets: lists of (M_i, 16) float64 arrays (same length).
+
+    APs use the reference binary's printed convention: 11-point sampling
+    (every 4th) of the 41-recall-point interpolated precision curve.
+    With ``return_curves`` also returns the raw 41-point curves per
+    class/difficulty — the exact arrays the binary writes to its
+    plot/*.txt files (differential oracle in tests/test_kitti_eval.py).
+    """
     n = len(gts_per_image)
     gt_counts = np.array([len(g) for g in gts_per_image], dtype=np.int64)
     det_counts = np.array([len(d) for d in dets_per_image], dtype=np.int64)
@@ -89,6 +97,7 @@ def evaluate_records(gts_per_image, dets_per_image):
         np.concatenate([d.reshape(-1, _RECORD) for d in dets_per_image])
         if det_counts.sum() else np.zeros((0, _RECORD)))
     results = np.zeros(36, dtype=np.float64)
+    curves = np.zeros((3, 3, 4, 41), dtype=np.float64)
     lib = _get_lib()
     cdp = ctypes.POINTER(ctypes.c_double)
     clp = ctypes.POINTER(ctypes.c_long)
@@ -96,15 +105,22 @@ def evaluate_records(gts_per_image, dets_per_image):
                        gt_counts.ctypes.data_as(clp),
                        det_data.ctypes.data_as(cdp),
                        det_counts.ctypes.data_as(clp),
-                       ctypes.c_long(n), results.ctypes.data_as(cdp))
+                       ctypes.c_long(n), results.ctypes.data_as(cdp),
+                       curves.ctypes.data_as(cdp))
     out = {}
     idx = 0
-    for cls in CLASS_NAMES:
-        for dif in DIFFICULTY:
+    for ci, cls in enumerate(CLASS_NAMES):
+        for di, dif in enumerate(DIFFICULTY):
             ap2d, aos, apbev, ap3d = results[idx:idx + 4]
             idx += 4
             out[f"{cls}_{dif}"] = {"AP2D": ap2d, "AOS": aos,
                                    "AP_BEV": apbev, "AP_3D": ap3d}
+            if return_curves:
+                out[f"{cls}_{dif}"]["curves"] = {
+                    "p2d": curves[ci, di, 0].copy(),
+                    "aos": curves[ci, di, 1].copy(),
+                    "p_bev": curves[ci, di, 2].copy(),
+                    "p_3d": curves[ci, di, 3].copy()}
     return out
 
 

@@ -32,12 +32,28 @@ def build(quiet=True):
     return _BUILD_DIR
 
 
+def _stale(src_name):
+    """True if the built .so predates the source file (or is missing)."""
+    src = os.path.join(os.path.dirname(os.path.abspath(__file__)), src_name)
+    try:
+        newest_so = max(
+            (os.path.getmtime(os.path.join(_BUILD_DIR, f))
+             for f in os.listdir(_BUILD_DIR)
+             if f.startswith("_codenet_nms") and f.endswith(".so")),
+            default=None)
+    except OSError:
+        newest_so = None
+    return newest_so is None or newest_so < os.path.getmtime(src)
+
+
 def load_nms(auto_build=True):
-    """Import the native NMS module, building it if needed; returns the
-    module or None when unavailable."""
+    """Import the native NMS module, (re)building it if missing or older
+    than nms.cpp; returns the module or None when unavailable."""
     if _BUILD_DIR not in sys.path:
         sys.path.insert(0, _BUILD_DIR)
     try:
+        if auto_build and _stale("nms.cpp"):
+            build()
         import _codenet_nms
         return _codenet_nms
     except ImportError:
@@ -50,3 +66,6 @@ def load_nms(auto_build=True):
         except Exception as e:  # toolchain missing etc.
             print(f"native nms unavailable ({e}); using numpy fallback")
             return None
+    except Exception as e:  # build failed on a stale source refresh
+        print(f"native nms unavailable ({e}); using numpy fallback")
+        return None

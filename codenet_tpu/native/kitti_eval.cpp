@@ -2,14 +2,29 @@
 //
 // Fresh implementation of the metric computed by the reference's
 // tools/kitti_eval/evaluate_object_3d_offline.cpp (948 LoC, shelled out to
-// by lib/datasets/dataset/kitti.py:84-88): 41-point interpolated AP for 2D
-// detection, bird's-eye-view and 3D boxes, plus AOS (orientation), at the
-// three KITTI difficulty levels (easy/moderate/hard gates on min height /
-// occlusion / truncation).
+// by lib/datasets/dataset/kitti.py:84-88): 41-recall-point curves with the
+// official 11-point sampled AP (every 4th of the 41 points — the number the
+// reference binary prints) for 2D detection, bird's-eye-view and 3D boxes,
+// plus AOS (orientation), at the three KITTI difficulty levels
+// (easy/moderate/hard gates on min height / occlusion / truncation).
+//
+// Protocol details mirrored exactly (differentially tested against the
+// reference's prebuilt binary in tests/test_kitti_eval.py):
+//  - recall-threshold pass matches each GT to the HIGHEST-SCORE candidate;
+//    the PR pass matches the GREATEST-OVERLAP non-ignored candidate,
+//    falling back to an ignored (too-small) detection only when nothing
+//    else matched; assignments are consumed across GTs within an image.
+//  - neighbor classes (Van~Car, Person_sitting~Pedestrian) and
+//    difficulty-filtered same-class GTs are "ignored" (absorb detections,
+//    count neither TP nor FN); all other classes are skipped outright.
+//  - detections overlapping a DontCare area (intersection / detection
+//    area > class min-overlap) are subtracted from the FP count.
+//  - detection min-height test truncates the height to int (the binary's
+//    int32_t cast); the GT height test compares doubles.
 //
 // Exposed as a C ABI for ctypes (codenet_tpu/eval/kitti_eval.py): the
 // caller passes flat arrays of GT and detection records; results are the
-// per-difficulty APs.
+// per-class/difficulty APs plus (optionally) the full 41-point curves.
 
 #include <algorithm>
 #include <cmath>
@@ -19,15 +34,21 @@
 namespace {
 
 constexpr int kNSample = 41;
-constexpr double kMinOverlap2D[3] = {0.7, 0.5, 0.5};  // car, ped, cyc
-constexpr double kMinOverlap3D[3] = {0.7, 0.5, 0.5};
+// MIN_OVERLAP[metric][class] (car, ped, cyc): the reference binary ships
+// with the RELAXED ground/3D thresholds (its strict variant is commented
+// out at evaluate_object_3d_offline.cpp:55)
+constexpr double kMinOverlap[3][3] = {
+    {0.7, 0.5, 0.5},     // image (2D)
+    {0.5, 0.25, 0.25},   // ground (BEV)
+    {0.5, 0.25, 0.25}};  // 3D
 // difficulty gates: MIN_HEIGHT, MAX_OCCLUSION, MAX_TRUNCATION
 constexpr double kMinHeight[3] = {40.0, 25.0, 25.0};
 constexpr int kMaxOcclusion[3] = {0, 1, 2};
 constexpr double kMaxTruncation[3] = {0.15, 0.3, 0.5};
 
 struct Box {  // one GT or detection record
-  int cls;         // 0 car, 1 pedestrian, 2 cyclist, -1 dontcare/other
+  int cls;         // 0 car, 1 ped, 2 cyc; -2 van, -3 person_sitting,
+                   // -1 dontcare, 99 other
   double x1, y1, x2, y2;
   double h, w, l;  // dimensions
   double tx, ty, tz;
@@ -38,14 +59,17 @@ struct Box {  // one GT or detection record
   double truncation;
 };
 
-double box2d_iou(const Box& a, const Box& b) {
+// criterion: -1 inter/union, 0 inter/area(a), 1 inter/area(b)
+double box2d_overlap(const Box& a, const Box& b, int criterion) {
   double ix = std::min(a.x2, b.x2) - std::max(a.x1, b.x1);
   double iy = std::min(a.y2, b.y2) - std::max(a.y1, b.y1);
   if (ix <= 0 || iy <= 0) return 0.0;
   double inter = ix * iy;
-  double ua = (a.x2 - a.x1) * (a.y2 - a.y1) +
-              (b.x2 - b.x1) * (b.y2 - b.y1) - inter;
-  return inter / ua;
+  double a_area = (a.x2 - a.x1) * (a.y2 - a.y1);
+  double b_area = (b.x2 - b.x1) * (b.y2 - b.y1);
+  if (criterion == 0) return inter / a_area;
+  if (criterion == 1) return inter / b_area;
+  return inter / (a_area + b_area - inter);
 }
 
 struct Pt {
@@ -122,7 +146,7 @@ void make_cw(Pt p[4]) {
   if (a > 0) std::swap(p[1], p[3]);
 }
 
-double bev_overlap(const Box& a, const Box& b) {
+double bev_inter_area(const Box& a, const Box& b) {
   Pt ca[4], cb[4];
   bev_corners(a, ca);
   bev_corners(b, cb);
@@ -131,59 +155,42 @@ double bev_overlap(const Box& a, const Box& b) {
   std::vector<Pt> subject(ca, ca + 4);
   auto inter = clip_poly(subject, cb);
   if (inter.size() < 3) return 0.0;
-  double ia = poly_area(inter);
-  double ua = a.l * a.w + b.l * b.w - ia;
+  return poly_area(inter);
+}
+
+double bev_overlap(const Box& a, const Box& b, int criterion) {
+  double ia = bev_inter_area(a, b);
+  double a_area = std::fabs(a.l * a.w), b_area = std::fabs(b.l * b.w);
+  if (criterion == 0) return a_area > 0 ? ia / a_area : 0.0;
+  if (criterion == 1) return b_area > 0 ? ia / b_area : 0.0;
+  double ua = a_area + b_area - ia;
   return ua > 0 ? ia / ua : 0.0;
 }
 
-double box3d_overlap(const Box& a, const Box& b) {
-  Pt ca[4], cb[4];
-  bev_corners(a, ca);
-  bev_corners(b, cb);
-  make_cw(ca);
-  make_cw(cb);
-  std::vector<Pt> subject(ca, ca + 4);
-  auto inter = clip_poly(subject, cb);
-  if (inter.size() < 3) return 0.0;
-  double ia = poly_area(inter);
+double box3d_overlap(const Box& a, const Box& b, int criterion) {
+  double ia = bev_inter_area(a, b);
   // y axis points down; box spans [ty - h, ty]
   double ymin = std::max(a.ty - a.h, b.ty - b.h);
   double ymax = std::min(a.ty, b.ty);
-  double ih = std::max(0.0, ymax - ymin);
-  double iv = ia * ih;
-  double uv = a.l * a.w * a.h + b.l * b.w * b.h - iv;
+  double iv = ia * std::max(0.0, ymax - ymin);
+  double a_vol = std::fabs(a.l * a.w * a.h), b_vol = std::fabs(b.l * b.w * b.h);
+  if (criterion == 0) return a_vol > 0 ? iv / a_vol : 0.0;
+  if (criterion == 1) return b_vol > 0 ? iv / b_vol : 0.0;
+  double uv = a_vol + b_vol - iv;
   return uv > 0 ? iv / uv : 0.0;
 }
 
 enum Metric { kImage = 0, kGround = 1, kBox3D = 2 };
 
-double overlap(const Box& a, const Box& b, Metric m) {
+double overlap(const Box& det, const Box& gt, Metric m, int criterion) {
   switch (m) {
     case kImage:
-      return box2d_iou(a, b);
+      return box2d_overlap(det, gt, criterion);
     case kGround:
-      return bev_overlap(a, b);
+      return bev_overlap(det, gt, criterion);
     default:
-      return box3d_overlap(a, b);
+      return box3d_overlap(det, gt, criterion);
   }
-}
-
-// -1: ignored, 0: valid, else skip entirely
-int gt_relevance(const Box& g, int current_cls, int difficulty) {
-  bool same = g.cls == current_cls;
-  // neighbor classes ignored (Van~Car handled by caller mapping cls=-2,
-  // Person_sitting~Pedestrian likewise); dontcare is cls == -1
-  bool neighbor = (g.cls == -2 - current_cls);
-  double height = g.y2 - g.y1;
-  if (same) {
-    if (g.occlusion > kMaxOcclusion[difficulty] ||
-        g.truncation > kMaxTruncation[difficulty] ||
-        height <= kMinHeight[difficulty])
-      return -1;  // ignored
-    return 0;
-  }
-  if (neighbor || g.cls == -1) return -1;
-  return 1;  // irrelevant
 }
 
 struct ImageData {
@@ -191,11 +198,152 @@ struct ImageData {
   std::vector<Box> dets;
 };
 
-struct PrPoint {
+struct PrData {
   double tp = 0, fp = 0, fn = 0, similarity = 0;
+  std::vector<double> v;  // TP-candidate scores (recall-threshold pass)
 };
 
-// score thresholds from the sorted TP candidate scores (official logic)
+// cleanData: classify GTs (0 valid / 1 ignored / -1 skip), collect
+// DontCare areas, classify detections (0 valid / 1 too-small / -1 other)
+void clean_data(const ImageData& img, int cls, int difficulty,
+                std::vector<int>* ignored_gt, std::vector<Box>* dontcare,
+                std::vector<int>* ignored_det, double* n_gt) {
+  for (const Box& g : img.gts) {
+    int valid_class;
+    if (g.cls == cls)
+      valid_class = 1;
+    else if ((cls == 0 && g.cls == -2) || (cls == 1 && g.cls == -3))
+      valid_class = 0;  // neighbor class (Van~Car, Person_sitting~Ped)
+    else
+      valid_class = -1;
+    double height = g.y2 - g.y1;
+    bool ignore = g.occlusion > kMaxOcclusion[difficulty] ||
+                  g.truncation > kMaxTruncation[difficulty] ||
+                  height < kMinHeight[difficulty];
+    if (valid_class == 1 && !ignore) {
+      ignored_gt->push_back(0);
+      *n_gt += 1;
+    } else if (valid_class == 0 || (ignore && valid_class == 1)) {
+      ignored_gt->push_back(1);
+    } else {
+      ignored_gt->push_back(-1);
+    }
+    if (g.cls == -1) dontcare->push_back(g);
+  }
+  for (const Box& d : img.dets) {
+    // the binary casts the detection height to int32 before comparing
+    int height = (int)std::fabs(d.y1 - d.y2);
+    if (height < kMinHeight[difficulty])
+      ignored_det->push_back(1);
+    else if (d.cls == cls)
+      ignored_det->push_back(0);
+    else
+      ignored_det->push_back(-1);
+  }
+}
+
+// computeStatistics: one image at one score threshold (or, with
+// compute_fp=false, the recall-threshold pass collecting TP scores)
+PrData compute_stats(const ImageData& img, int cls,
+                     const std::vector<int>& ignored_gt,
+                     const std::vector<int>& ignored_det,
+                     const std::vector<Box>& dontcare, bool compute_fp,
+                     Metric metric, bool compute_aos, double thresh) {
+  PrData stat;
+  const double kNoDetection = -1e7;
+  double min_ov = kMinOverlap[metric][cls];
+  std::vector<double> delta;
+  std::vector<bool> assigned(img.dets.size(), false);
+  std::vector<bool> ignored_threshold(img.dets.size(), false);
+  if (compute_fp)
+    for (size_t j = 0; j < img.dets.size(); ++j)
+      if (img.dets[j].score < thresh) ignored_threshold[j] = true;
+
+  for (size_t i = 0; i < img.gts.size(); ++i) {
+    if (ignored_gt[i] == -1) continue;
+
+    int det_idx = -1;
+    double valid_detection = kNoDetection;
+    double max_overlap = 0;
+    bool assigned_ignored_det = false;
+
+    for (size_t j = 0; j < img.dets.size(); ++j) {
+      if (ignored_det[j] == -1 || assigned[j] || ignored_threshold[j])
+        continue;
+      double ov = overlap(img.dets[j], img.gts[i], metric, -1);
+      if (!compute_fp && ov > min_ov &&
+          img.dets[j].score > valid_detection) {
+        // recall-threshold pass: highest-score candidate wins
+        det_idx = (int)j;
+        valid_detection = img.dets[j].score;
+      } else if (compute_fp && ov > min_ov &&
+                 (ov > max_overlap || assigned_ignored_det) &&
+                 ignored_det[j] == 0) {
+        // PR pass: greatest-overlap non-ignored candidate wins
+        max_overlap = ov;
+        det_idx = (int)j;
+        valid_detection = 1;
+        assigned_ignored_det = false;
+      } else if (compute_fp && ov > min_ov &&
+                 valid_detection == kNoDetection && ignored_det[j] == 1) {
+        // ignored (too-small) detection only if nothing else matched
+        det_idx = (int)j;
+        valid_detection = 1;
+        assigned_ignored_det = true;
+      }
+    }
+
+    if (valid_detection == kNoDetection && ignored_gt[i] == 0) {
+      stat.fn += 1;
+    } else if (valid_detection != kNoDetection &&
+               (ignored_gt[i] == 1 || ignored_det[det_idx] == 1)) {
+      assigned[det_idx] = true;  // absorbed, counts neither way
+    } else if (valid_detection != kNoDetection) {
+      stat.tp += 1;
+      stat.v.push_back(img.dets[det_idx].score);
+      if (compute_aos)
+        delta.push_back(img.gts[i].alpha - img.dets[det_idx].alpha);
+      assigned[det_idx] = true;
+    }
+  }
+
+  if (compute_fp) {
+    for (size_t j = 0; j < img.dets.size(); ++j)
+      if (!(assigned[j] || ignored_det[j] == -1 || ignored_det[j] == 1 ||
+            ignored_threshold[j]))
+        stat.fp += 1;
+    // detections overlapping DontCare areas (inter / det area) are not FPs
+    double nstuff = 0;
+    for (const Box& dc : dontcare) {
+      for (size_t j = 0; j < img.dets.size(); ++j) {
+        if (assigned[j] || ignored_det[j] == -1 || ignored_det[j] == 1 ||
+            ignored_threshold[j])
+          continue;
+        double ov = overlap(img.dets[j], dc, metric, 0);
+        if (ov > min_ov) {
+          assigned[j] = true;
+          nstuff += 1;
+        }
+      }
+    }
+    stat.fp -= nstuff;
+
+    if (compute_aos) {
+      // FPs contribute 0 similarity; TPs contribute (1+cos(delta))/2.
+      // An image with neither at this threshold is skipped (-1 marker).
+      if (stat.tp > 0 || stat.fp > 0) {
+        double s = 0;
+        for (double d : delta) s += (1.0 + std::cos(d)) / 2.0;
+        stat.similarity = s;
+      } else {
+        stat.similarity = -1;
+      }
+    }
+  }
+  return stat;
+}
+
+// score thresholds for the 41 recall sample points (official logic)
 std::vector<double> thresholds_from_scores(std::vector<double> scores,
                                            double n_gt) {
   std::sort(scores.begin(), scores.end(), std::greater<double>());
@@ -216,97 +364,37 @@ std::vector<double> thresholds_from_scores(std::vector<double> scores,
 
 void eval_class(const std::vector<ImageData>& images, int cls,
                 int difficulty, Metric metric, bool compute_aos,
-                double* ap_out, double* aos_out) {
-  double min_ov = metric == kImage ? kMinOverlap2D[cls] : kMinOverlap3D[cls];
-
-  // pass 1: count valid GT + collect TP candidate scores
+                double* ap_out, double* aos_out, double* curve_p,
+                double* curve_a) {
+  size_t n = images.size();
+  std::vector<std::vector<int>> ignored_gt(n), ignored_det(n);
+  std::vector<std::vector<Box>> dontcare(n);
   double n_gt = 0;
-  std::vector<double> tp_scores;
-  for (const auto& img : images) {
-    std::vector<int> rel(img.gts.size());
-    for (size_t gi = 0; gi < img.gts.size(); ++gi) {
-      rel[gi] = gt_relevance(img.gts[gi], cls, difficulty);
-      if (rel[gi] == 0) n_gt += 1;
-    }
-    // greedy: each valid gt matched with the best-overlap detection
-    for (size_t gi = 0; gi < img.gts.size(); ++gi) {
-      if (rel[gi] != 0) continue;
-      double best = min_ov;
-      int bi = -1;
-      for (size_t di = 0; di < img.dets.size(); ++di) {
-        if (img.dets[di].cls != cls) continue;
-        double ov = overlap(img.dets[di], img.gts[gi], metric);
-        if (ov >= best) {
-          best = ov;
-          bi = (int)di;
-        }
-      }
-      if (bi >= 0) tp_scores.push_back(img.dets[bi].score);
-    }
+  std::vector<double> v;
+  for (size_t i = 0; i < n; ++i) {
+    clean_data(images[i], cls, difficulty, &ignored_gt[i], &dontcare[i],
+               &ignored_det[i], &n_gt);
+    PrData tmp = compute_stats(images[i], cls, ignored_gt[i],
+                               ignored_det[i], dontcare[i], false, metric,
+                               false, 0.0);
+    v.insert(v.end(), tmp.v.begin(), tmp.v.end());
   }
-  if (n_gt == 0) {
-    *ap_out = -1;
-    if (aos_out) *aos_out = -1;
-    return;
-  }
-  auto thresholds = thresholds_from_scores(tp_scores, n_gt);
+  auto thresholds = thresholds_from_scores(v, n_gt);
 
-  std::vector<PrPoint> pr(thresholds.size());
-  for (const auto& img : images) {
-    std::vector<int> rel(img.gts.size());
-    for (size_t gi = 0; gi < img.gts.size(); ++gi)
-      rel[gi] = gt_relevance(img.gts[gi], cls, difficulty);
-    // small det height => ignored detection (avoids penalizing hard dets)
-    std::vector<int> det_ign(img.dets.size(), 0);
-    for (size_t di = 0; di < img.dets.size(); ++di) {
-      double h = img.dets[di].y2 - img.dets[di].y1;
-      if (h < kMinHeight[difficulty]) det_ign[di] = 1;
-    }
+  std::vector<PrData> pr(thresholds.size());
+  for (size_t i = 0; i < n; ++i) {
     for (size_t t = 0; t < thresholds.size(); ++t) {
-      double thr = thresholds[t];
-      std::vector<char> det_used(img.dets.size(), 0);
-      // match valid gts
-      for (size_t gi = 0; gi < img.gts.size(); ++gi) {
-        if (rel[gi] == 1) continue;  // irrelevant class
-        double best_ov = min_ov;
-        int bi = -1;
-        bool bi_ignored = false;
-        for (size_t di = 0; di < img.dets.size(); ++di) {
-          if (img.dets[di].cls != cls || det_used[di]) continue;
-          if (img.dets[di].score < thr) continue;
-          double ov = overlap(img.dets[di], img.gts[gi], metric);
-          if (ov >= best_ov) {
-            // prefer non-ignored detections
-            if (bi >= 0 && !bi_ignored && det_ign[di]) continue;
-            best_ov = ov;
-            bi = (int)di;
-            bi_ignored = det_ign[di] != 0;
-          }
-        }
-        if (bi >= 0) {
-          det_used[bi] = 1;
-          if (rel[gi] == 0 && !bi_ignored) {
-            pr[t].tp += 1;
-            if (compute_aos) {
-              double delta = img.gts[gi].alpha - img.dets[bi].alpha;
-              pr[t].similarity += (1.0 + std::cos(delta)) / 2.0;
-            }
-          }
-          // matches to ignored gts or by ignored dets count neither way
-        } else if (rel[gi] == 0) {
-          pr[t].fn += 1;
-        }
-      }
-      // unmatched, non-ignored detections above threshold are FPs
-      for (size_t di = 0; di < img.dets.size(); ++di) {
-        if (img.dets[di].cls != cls || det_used[di] || det_ign[di]) continue;
-        if (img.dets[di].score < thr) continue;
-        pr[t].fp += 1;
-      }
+      PrData tmp = compute_stats(images[i], cls, ignored_gt[i],
+                                 ignored_det[i], dontcare[i], true, metric,
+                                 compute_aos, thresholds[t]);
+      pr[t].tp += tmp.tp;
+      pr[t].fp += tmp.fp;
+      pr[t].fn += tmp.fn;
+      if (tmp.similarity != -1) pr[t].similarity += tmp.similarity;
     }
   }
 
-  // precision curve over the 41 recall sample points
+  // precision/AOS curve over the 41 recall sample points
   std::vector<double> precision(kNSample, 0.0);
   std::vector<double> aos(kNSample, 0.0);
   for (size_t t = 0; t < thresholds.size(); ++t) {
@@ -314,20 +402,27 @@ void eval_class(const std::vector<ImageData>& images, int cls,
     precision[t] = denom > 0 ? pr[t].tp / denom : 0;
     if (compute_aos) aos[t] = denom > 0 ? pr[t].similarity / denom : 0;
   }
-  // monotone smoothing (official)
-  for (int i = 0; i < kNSample; ++i) {
-    for (int j = i; j < kNSample; ++j) {
-      precision[i] = std::max(precision[i], precision[j]);
-      if (compute_aos) aos[i] = std::max(aos[i], aos[j]);
-    }
+  // monotone smoothing over the threshold range (official)
+  for (size_t t = 0; t < thresholds.size(); ++t) {
+    precision[t] = *std::max_element(precision.begin() + t,
+                                     precision.begin() + thresholds.size());
+    if (compute_aos)
+      aos[t] = *std::max_element(aos.begin() + t,
+                                 aos.begin() + thresholds.size());
   }
+  // the reference binary's printed AP: 11-point sampling of the 41 points
   double sum_p = 0, sum_a = 0;
-  for (int i = 0; i < kNSample; ++i) {
+  for (int i = 0; i < kNSample; i += 4) {
     sum_p += precision[i];
     sum_a += aos[i];
   }
-  *ap_out = sum_p / kNSample * 100.0;
-  if (aos_out) *aos_out = compute_aos ? sum_a / kNSample * 100.0 : -1;
+  *ap_out = sum_p / 11.0 * 100.0;
+  if (aos_out) *aos_out = compute_aos ? sum_a / 11.0 * 100.0 : -1;
+  if (curve_p)
+    for (int i = 0; i < kNSample; ++i) curve_p[i] = precision[i];
+  if (curve_a)
+    for (int i = 0; i < kNSample; ++i)
+      curve_a[i] = compute_aos ? aos[i] : -1;
 }
 
 }  // namespace
@@ -340,9 +435,11 @@ constexpr int kRecord = 16;
 
 // results layout: for each cls(3) x difficulty(3):
 //   [ap2d, aos, ap_bev, ap_3d] => 36 doubles
+// curves (optional, may be NULL): for each cls(3) x difficulty(3) x
+//   [p2d, aos, p_bev, p_3d]: 41 doubles each => 3*3*4*41 = 1476 doubles
 int kitti_evaluate(const double* gt_data, const long* gt_counts,
                    const double* det_data, const long* det_counts,
-                   long n_images, double* results) {
+                   long n_images, double* results, double* curves) {
   std::vector<ImageData> images(n_images);
   long gofs = 0, dofs = 0;
   auto parse = [](const double* r) {
@@ -367,9 +464,14 @@ int kitti_evaluate(const double* gt_data, const long* gt_counts,
   for (int cls = 0; cls < 3; ++cls) {
     for (int dif = 0; dif < 3; ++dif) {
       double ap2d, aos, apbev, ap3d;
-      eval_class(images, cls, dif, kImage, true, &ap2d, &aos);
-      eval_class(images, cls, dif, kGround, false, &apbev, nullptr);
-      eval_class(images, cls, dif, kBox3D, false, &ap3d, nullptr);
+      double* c = curves ? curves + ((cls * 3 + dif) * 4) * kNSample
+                         : nullptr;
+      eval_class(images, cls, dif, kImage, true, &ap2d, &aos,
+                 c ? c : nullptr, c ? c + kNSample : nullptr);
+      eval_class(images, cls, dif, kGround, false, &apbev, nullptr,
+                 c ? c + 2 * kNSample : nullptr, nullptr);
+      eval_class(images, cls, dif, kBox3D, false, &ap3d, nullptr,
+                 c ? c + 3 * kNSample : nullptr, nullptr);
       results[idx++] = ap2d;
       results[idx++] = aos;
       results[idx++] = apbev;

@@ -123,6 +123,91 @@ def _soft_nms_numpy(boxes, sigma=0.5, Nt=0.3, threshold=0.001, method=0):
     return list(range(N))
 
 
+def soft_nms_merge(boxes, sigma=0.5, Nt=0.3, threshold=0.001, method=0,
+                   weight_exp=6.0):
+    """Coordinate-merging Soft-NMS (reference nms.pyx:277-391), in-place on
+    (N, 7) float boxes [x1 y1 x2 y2 score ts bs]: each kept box's corners
+    become the mw=(1-weight)^weight_exp-weighted average over its
+    overlapping boxes, x1/y1 weighted by column 5 and x2/y2 by column 6.
+
+    Reference quirks preserved exactly: the max-selection swap and the
+    tail-discard swap move only columns 0-4 (columns 5-6 stay with their
+    original rows), and the merge accumulators read the PRE-swap row i's
+    columns 5-6. Unused by any reference detector (ExtremeNet upstream's
+    merge_bbox mode); ported for inventory parity.
+    """
+    native = _get_native()
+    if native is not None and boxes.dtype == np.float32 \
+            and boxes.flags["C_CONTIGUOUS"]:
+        return native.soft_nms_merge(boxes, sigma=float(sigma),
+                                     Nt=float(Nt),
+                                     threshold=float(threshold),
+                                     method=int(method),
+                                     weight_exp=float(weight_exp))
+    return _soft_nms_merge_numpy(boxes, sigma, Nt, threshold, method,
+                                 weight_exp)
+
+
+def _soft_nms_merge_numpy(boxes, sigma=0.5, Nt=0.3, threshold=0.001,
+                          method=0, weight_exp=6.0):
+    N = boxes.shape[0]
+    i = 0
+    while i < N:
+        maxpos = i + int(np.argmax(boxes[i:N, 4]))
+        # swap only columns 0-4 (reference behavior; cols 5-6 stay put)
+        if maxpos != i:
+            tmp = boxes[i, 0:5].copy()
+            boxes[i, 0:5] = boxes[maxpos, 0:5]
+            boxes[maxpos, 0:5] = tmp
+        # accumulators seeded from row i: coords are the max box's, the
+        # ts/bs weights are the ORIGINAL row i's (reference quirk)
+        mx1 = boxes[i, 0] * boxes[i, 5]
+        my1 = boxes[i, 1] * boxes[i, 5]
+        mx2 = boxes[i, 2] * boxes[i, 6]
+        my2 = boxes[i, 3] * boxes[i, 6]
+        mts, mbs = boxes[i, 5], boxes[i, 6]
+        tx1, ty1, tx2, ty2 = boxes[i, 0], boxes[i, 1], boxes[i, 2], \
+            boxes[i, 3]
+
+        pos = i + 1
+        while pos < N:
+            x1, y1, x2, y2 = boxes[pos, 0], boxes[pos, 1], boxes[pos, 2], \
+                boxes[pos, 3]
+            area = (x2 - x1 + 1) * (y2 - y1 + 1)
+            iw = min(tx2, x2) - max(tx1, x1) + 1
+            if iw > 0:
+                ih = min(ty2, y2) - max(ty1, y1) + 1
+                if ih > 0:
+                    ua = (tx2 - tx1 + 1) * (ty2 - ty1 + 1) + area - iw * ih
+                    ov = iw * ih / ua
+                    if method == 1:
+                        weight = 1 - ov if ov > Nt else 1.0
+                    elif method == 2:
+                        weight = np.exp(-(ov * ov) / sigma)
+                    else:
+                        weight = 0.0 if ov > Nt else 1.0
+                    mw = (1 - weight) ** weight_exp
+                    mx1 += boxes[pos, 0] * boxes[pos, 5] * mw
+                    my1 += boxes[pos, 1] * boxes[pos, 5] * mw
+                    mx2 += boxes[pos, 2] * boxes[pos, 6] * mw
+                    my2 += boxes[pos, 3] * boxes[pos, 6] * mw
+                    mts += boxes[pos, 5] * mw
+                    mbs += boxes[pos, 6] * mw
+                    boxes[pos, 4] = weight * boxes[pos, 4]
+                    if boxes[pos, 4] < threshold:
+                        # tail-discard copies only columns 0-4 (quirk)
+                        boxes[pos, 0:5] = boxes[N - 1, 0:5]
+                        N -= 1
+                        pos -= 1
+            pos += 1
+        boxes[i, 0] = mx1 / mts
+        boxes[i, 1] = my1 / mts
+        boxes[i, 2] = mx2 / mbs
+        boxes[i, 3] = my2 / mbs
+        i += 1
+    return list(range(N))
+
+
 def soft_nms_39(boxes, sigma=0.5, Nt=0.3, threshold=0.001, method=0):
     """39-column keypoint variant (reference nms.pyx:172-275): same score
     logic, rows carry bbox(4)+score+kps(34)."""

@@ -44,7 +44,7 @@ def test_wrong_location_zero_3d_ap():
     d = np.array([_rec(0, 100, 100, 200, 170, tx=30.0, tz=50.0, score=0.9)])
     out = K.evaluate_records([g], [d])
     r = out["Car_easy"]
-    # with 1 GT only 1 of 41 recall points is coverable: max AP ~2.4
+    # with 1 GT only the first recall point is coverable: 11-pt AP ~9.1
     assert r["AP2D"] > 2.0       # 2D box matches
     assert r["AP_3D"] < 0.1      # 3D displaced -> no match
     assert r["AP_BEV"] < 0.1
@@ -67,3 +67,172 @@ def test_label_file_roundtrip(tmp_path):
     assert recs[0, 0] == 0  # Car
     assert recs[1, 0] == -1  # DontCare
     np.testing.assert_allclose(recs[0, 13], 0.99)
+
+
+# ---------------------------------------------------------------------------
+# Differential test against the reference's prebuilt C++ binary
+# (tools/kitti_eval/evaluate_object_3d_offline — the exact oracle
+# lib/datasets/dataset/kitti.py:84-88 shells out to).
+# ---------------------------------------------------------------------------
+
+import os
+import re
+import subprocess
+
+_REF_BIN = "/root/reference/tools/kitti_eval/evaluate_object_3d_offline"
+
+_TYPES = ["Car", "Van", "Pedestrian", "Person_sitting", "Cyclist", "Truck"]
+
+
+def _fmt(v):
+    return "%.6f" % v
+
+
+def _gt_line(t, trunc, occ, alpha, box, dims, loc, ry):
+    return " ".join([t, _fmt(trunc), str(int(occ)), _fmt(alpha)]
+                    + [_fmt(v) for v in box] + [_fmt(v) for v in dims]
+                    + [_fmt(v) for v in loc] + [_fmt(ry)])
+
+
+def _det_line(t, alpha, box, dims, loc, ry, score):
+    return " ".join([t, "-1", "-1", _fmt(alpha)]
+                    + [_fmt(v) for v in box] + [_fmt(v) for v in dims]
+                    + [_fmt(v) for v in loc] + [_fmt(ry), _fmt(score)])
+
+
+def _gen_scenario(rng, n_images):
+    """Random GT/detection file contents spanning the protocol's edge
+    cases: difficulty gates (occlusion/truncation/height), neighbor
+    classes, off-classes, DontCare areas, class confusions, too-small
+    detections, pure FPs, displaced 3D boxes."""
+    gt_files, det_files = [], []
+    for _ in range(n_images):
+        gts, dets = [], []
+        for _ in range(rng.randint(1, 8)):
+            t = _TYPES[rng.randint(len(_TYPES))]
+            x1 = rng.uniform(0, 1100.0)
+            y1 = rng.uniform(0, 280.0)
+            bw = rng.uniform(12.0, 160.0)
+            bh = rng.uniform(15.0, 130.0)  # spans the 25/40 px gates
+            box = (x1, y1, x1 + bw, y1 + bh)
+            occ = rng.randint(0, 4)
+            trunc = rng.uniform(0, 0.6)
+            dims = (rng.uniform(1.2, 2.2), rng.uniform(0.4, 2.2),
+                    rng.uniform(0.8, 5.0))  # h w l
+            loc = (rng.uniform(-30, 30), rng.uniform(0.8, 2.5),
+                   rng.uniform(4, 60))
+            ry = rng.uniform(-np.pi, np.pi)
+            alpha = rng.uniform(-np.pi, np.pi)
+            gts.append(_gt_line(t, trunc, occ, alpha, box, dims, loc, ry))
+            if rng.rand() < 0.85:  # derived detection
+                dt = t if rng.rand() > 0.06 else \
+                    _TYPES[rng.randint(len(_TYPES))]
+                j = 1.0 + rng.uniform(-0.12, 0.12, size=4)
+                dbox = (box[0] * j[0], box[1] * j[1],
+                        max(box[2] * j[2], box[0] * j[0] + 2),
+                        max(box[3] * j[3], box[1] * j[1] + 2))
+                dloc = tuple(v + rng.normal(0, 0.3) for v in loc)
+                ddim = tuple(max(0.2, v + rng.normal(0, 0.15))
+                             for v in dims)
+                dry = ry + rng.normal(0, 0.2)
+                dalpha = alpha + rng.normal(0, 0.4)
+                dets.append(_det_line(dt, dalpha, dbox, ddim, dloc, dry,
+                                      rng.uniform(0.05, 1.0)))
+        for _ in range(rng.randint(0, 3)):  # pure false positives
+            t = _TYPES[rng.randint(3)]
+            x1, y1 = rng.uniform(0, 1100.0), rng.uniform(0, 300.0)
+            box = (x1, y1, x1 + rng.uniform(15, 120),
+                   y1 + rng.uniform(18, 110))
+            dets.append(_det_line(
+                t, rng.uniform(-np.pi, np.pi), box,
+                (rng.uniform(1.2, 2.2), rng.uniform(0.4, 2.2),
+                 rng.uniform(0.8, 5.0)),
+                (rng.uniform(-30, 30), rng.uniform(0.8, 2.5),
+                 rng.uniform(4, 60)),
+                rng.uniform(-np.pi, np.pi), rng.uniform(0.05, 1.0)))
+        for _ in range(rng.randint(0, 2)):  # DontCare areas
+            x1, y1 = rng.uniform(0, 1100.0), rng.uniform(0, 300.0)
+            gts.append(" ".join(
+                ["DontCare", "-1", "-1", "-10",
+                 _fmt(x1), _fmt(y1), _fmt(x1 + rng.uniform(30, 250)),
+                 _fmt(y1 + rng.uniform(20, 120)),
+                 "-1", "-1", "-1", "-1000", "-1000", "-1000", "-10"]))
+        gt_files.append("\n".join(gts) + "\n")
+        det_files.append("\n".join(dets) + "\n" if dets else "")
+    return gt_files, det_files
+
+
+_STAT_KEY = {"detection": "AP2D", "orientation": "AOS",
+             "detection_ground": "AP_BEV", "detection_3d": "AP_3D"}
+_CURVE_KEY = {"detection": "p2d", "orientation": "aos",
+              "detection_ground": "p_bev", "detection_3d": "p_3d"}
+
+
+def _run_reference(tmp, gt_files, det_files):
+    gt_dir = tmp / "gt"
+    res_dir = tmp / "out" / "data"
+    gt_dir.mkdir(parents=True, exist_ok=True)
+    res_dir.mkdir(parents=True, exist_ok=True)
+    for i, (g, d) in enumerate(zip(gt_files, det_files)):
+        (gt_dir / ("%06d.txt" % i)).write_text(g)
+        (res_dir / ("%06d.txt" % i)).write_text(d)
+    proc = subprocess.run(
+        [_REF_BIN, str(gt_dir), str(res_dir) + "/"],
+        capture_output=True, text=True, timeout=300)
+    aps = {}
+    for line in proc.stdout.splitlines():
+        m = re.match(r"(\w+?)_(detection_ground|detection_3d|"
+                     r"detection|orientation) AP: ([\d.eE+-]+) "
+                     r"([\d.eE+-]+) ([\d.eE+-]+)", line)
+        if m:
+            aps[(m.group(1), m.group(2))] = [float(m.group(i))
+                                             for i in (3, 4, 5)]
+    curves = {}
+    plot = tmp / "out" / "plot"
+    if plot.exists():
+        for f in plot.glob("*.txt"):
+            m = re.match(r"(\w+?)_(detection_ground|detection_3d|"
+                         r"detection|orientation)$", f.stem)
+            if not m:
+                continue
+            rows = np.loadtxt(str(f))
+            assert rows.shape == (41, 4), f
+            curves[(m.group(1), m.group(2))] = rows[:, 1:4].T  # (3, 41)
+    return aps, curves, (gt_dir, res_dir)
+
+
+@pytest.mark.skipif(not os.path.exists(_REF_BIN),
+                    reason="reference binary unavailable")
+@pytest.mark.parametrize("seed", range(12))
+def test_differential_vs_reference_binary(tmp_path, seed):
+    """Randomized GT/result sets scored by BOTH the reference's prebuilt
+    evaluate_object_3d_offline binary and our C++ scorer: the printed
+    11-point APs (2D/AOS/BEV/3D, all classes x difficulties the binary
+    evaluates) must agree to 1e-3 and the full 41-point precision curves
+    (the binary's plot/*.txt) to 1e-5."""
+    rng = np.random.RandomState(100 + seed)
+    gt_files, det_files = _gen_scenario(rng, n_images=rng.randint(6, 16))
+    aps, curves, (gt_dir, res_dir) = _run_reference(
+        tmp_path, gt_files, det_files)
+    assert aps, "reference binary evaluated nothing"
+
+    ids = sorted(f[:-4] for f in os.listdir(res_dir) if f.endswith(".txt"))
+    gts = [K.parse_label_file(str(gt_dir / (i + ".txt")), True)
+           for i in ids]
+    dets = [K.parse_label_file(str(res_dir / (i + ".txt")), False)
+            for i in ids]
+    ours = K.evaluate_records(gts, dets, return_curves=True)
+
+    for (cls, stat), vals in aps.items():
+        cls = cls.capitalize()  # binary prints lowercase class names
+        for di, dif in enumerate(K.DIFFICULTY):
+            got = ours[f"{cls}_{dif}"][_STAT_KEY[stat]]
+            assert abs(got - vals[di]) < 1e-3, \
+                (seed, cls, stat, dif, got, vals[di])
+    for (cls, stat), curve in curves.items():
+        cls = cls.capitalize()
+        for di, dif in enumerate(K.DIFFICULTY):
+            got = ours[f"{cls}_{dif}"]["curves"][_CURVE_KEY[stat]]
+            np.testing.assert_allclose(
+                got, curve[di], atol=1e-5,
+                err_msg=str((seed, cls, stat, dif)))

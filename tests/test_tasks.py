@@ -152,3 +152,52 @@ def test_soft_nms_39_native_matches_numpy():
     k2 = _soft_nms_39_numpy(b2, Nt=0.5, method=2)
     assert k1 == k2
     np.testing.assert_allclose(b1, b2, rtol=1e-5, atol=1e-6)
+
+
+def test_soft_nms_merge_native_matches_numpy():
+    """Coordinate-merging soft-NMS (reference nms.pyx:277-391): the C++
+    kernel and the literal numpy transcription must agree on keep counts,
+    merged coordinates, and decayed scores across methods."""
+    from codenet_tpu.ops.nms import soft_nms_merge, _soft_nms_merge_numpy
+    rng = np.random.RandomState(11)
+    for method in (0, 1, 2):
+        n = 50
+        xy = rng.rand(n, 2) * 40
+        boxes = np.concatenate(
+            [xy, xy + 10 + rng.rand(n, 2) * 40, rng.rand(n, 1),
+             rng.rand(n, 2) * 0.9 + 0.1], axis=1).astype(np.float32)
+        b1, b2 = boxes.copy(), boxes.copy()
+        k1 = soft_nms_merge(b1, Nt=0.4, method=method, weight_exp=6.0)
+        k2 = _soft_nms_merge_numpy(b2, Nt=0.4, method=method,
+                                   weight_exp=6.0)
+        assert k1 == k2, method
+        np.testing.assert_allclose(b1, b2, rtol=1e-4, atol=1e-4)
+
+
+def test_soft_nms_merge_merges_coordinates():
+    """Two heavily-overlapping boxes: the kept box's corners become the
+    mw-weighted average (gaussian decay), pulled toward the suppressed
+    box; a distant box is untouched."""
+    from codenet_tpu.ops.nms import _soft_nms_merge_numpy
+    b = np.array([
+        [0, 0, 10, 10, 0.9, 1.0, 1.0],
+        [2, 2, 12, 12, 0.8, 1.0, 1.0],   # heavy overlap
+        [50, 50, 60, 60, 0.7, 1.0, 1.0],
+    ], np.float32)
+    _soft_nms_merge_numpy(b, Nt=0.3, method=2, sigma=0.5, weight_exp=2.0)
+    # merged corner strictly between the two contributors
+    assert 0.0 < b[0, 0] < 2.0
+    assert 10.0 < b[0, 2] < 12.0
+    # hand-check the weighted average for the x1 coordinate
+    iw = min(10, 12) - max(0, 2) + 1
+    ih = iw
+    ua = 11 * 11 * 2 - iw * ih
+    ov = iw * ih / ua
+    w = np.exp(-(ov * ov) / 0.5)
+    mw = (1 - w) ** 2.0
+    np.testing.assert_allclose(b[0, 0], (0 * 1 + 2 * mw) / (1 + mw),
+                               rtol=1e-5)
+    # distant box untouched (the max-selection swap moved it to row 1:
+    # its 0.7 score beats row 1's gaussian-decayed 0.8)
+    far = int(np.argmin(np.abs(b[:, 0] - 50.0)))
+    np.testing.assert_allclose(b[far, :4], [50, 50, 60, 60])

@@ -79,11 +79,27 @@ class CocoDetEval:
         if isinstance(results, str):
             with open(results) as f:
                 results = json.load(f)
-        # results.json entries carry no "id" (reference coco.py:90-112
-        # format); assign sequential ids like pycocotools COCO.loadRes
-        if any("id" not in d for d in results):
-            results = [dict(d, id=i + 1) for i, d in enumerate(results)]
-        self.dt = results
+        # results.json entries carry no "id"/"area" (reference
+        # coco.py:90-112 format); assign sequential ids and derive areas
+        # exactly like pycocotools COCO.loadRes — keypoint results get an
+        # area (and bbox) from the keypoint x/y extents, which is what the
+        # area-range det-ignore test in _evaluate_img consumes
+        prepared = []
+        for i, d in enumerate(results):
+            d = dict(d)
+            d.setdefault("id", i + 1)
+            if "area" not in d:
+                if iou_type == "keypoints":
+                    s = d["keypoints"]
+                    x, y = s[0::3], s[1::3]
+                    x0, x1 = float(np.min(x)), float(np.max(x))
+                    y0, y1 = float(np.min(y)), float(np.max(y))
+                    d["area"] = (x1 - x0) * (y1 - y0)
+                    d.setdefault("bbox", [x0, y0, x1 - x0, y1 - y0])
+                else:
+                    d["area"] = d["bbox"][2] * d["bbox"][3]
+            prepared.append(d)
+        self.dt = prepared
         self.iou_type = iou_type
         self.img_ids = sorted(coco_gt.getImgIds())
         self.cat_ids = sorted(coco_gt.getCatIds()) or sorted(
@@ -181,14 +197,10 @@ class CocoDetEval:
                 dt_ig[tind, dind] = gt_ig[m]
                 dtm[tind, dind] = gts[m]["id"]
                 gtm[tind, m] = dts[dind]["id"]
-        # unmatched dets outside the area range are ignored
-        if self.iou_type == "keypoints":
-            a = np.array([d.get("area", 0) < area_rng[0]
-                          or d.get("area", 0) > area_rng[1] for d in dts])
-        else:
-            a = np.array([d["bbox"][2] * d["bbox"][3] < area_rng[0]
-                          or d["bbox"][2] * d["bbox"][3] > area_rng[1]
-                          for d in dts])
+        # unmatched dets outside the area range are ignored (loadRes-derived
+        # "area": bbox w*h, or the keypoint-extent box for keypoints)
+        a = np.array([d["area"] < area_rng[0] or d["area"] > area_rng[1]
+                      for d in dts])
         if D:
             dt_ig = np.logical_or(
                 dt_ig, np.logical_and(dtm == 0, np.tile(a, (T, 1))))

@@ -66,18 +66,44 @@ def _load_torch_payload(path, variables):
     tools_tpu/convert_torch_ckpt.py run. Reference state_dicts map in
     full; pytorchcv ImageNet checkpoints map their backbone (partial
     warm start through the tolerant merge below)."""
-    from .torch_import import (convert_pretrained_backbone,
+    from .torch_import import (convert_dlav0, convert_hourglass,
+                               convert_pretrained_backbone, convert_resnet,
                                convert_shufflenetv2)
     import torch
     payload = torch.load(path, map_location="cpu", weights_only=False)
     sd = payload.get("state_dict", payload) if isinstance(payload, dict) \
         else payload
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
-    heads = tuple(k[5:] for k in variables.get("params", {})
-                  if k.startswith("head_")) or ("hm", "wh", "reg")
-    if any(k.startswith("features.") for k in sd):
+    sd_stripped = {k[7:] if k.startswith("module.") else k: v
+                   for k, v in sd.items()}
+
+    def _heads(backbone_prefixes):
+        return tuple(sorted({k.split(".")[0] for k in sd_stripped
+                             if k.split(".")[0] not in backbone_prefixes}))
+
+    # dispatch on the state_dict's structural signature (each reference
+    # network family has a distinct stem key)
+    if any(k.startswith("features.") for k in sd_stripped):
+        heads = tuple(k[5:] for k in variables.get("params", {})
+                      if k.startswith("head_")) or ("hm", "wh", "reg")
         converted = convert_pretrained_backbone(sd, heads=heads)
+    elif "base.base_layer.0.weight" in sd_stripped:  # dlav0 DLASeg
+        converted = convert_dlav0(sd, heads=_heads({"base", "dla_up"}))
+    elif "pre.0.conv.weight" in sd_stripped:  # large hourglass exkp
+        converted = convert_hourglass(
+            sd, heads=_heads({"pre", "kps", "cnvs", "inters", "inters_",
+                              "cnvs_"}))
+    elif "deconv_layers.0.weight" in sd_stripped \
+            and "conv1.weight" in sd_stripped:  # msra PoseResNet
+        hc = any(k.endswith(".2.weight") and not k.startswith(
+            ("layer", "deconv")) for k in sd_stripped)
+        converted = convert_resnet(
+            sd, heads=_heads({"conv1", "bn1", "layer1", "layer2", "layer3",
+                              "layer4", "deconv_layers"}),
+            head_conv=64 if hc else 0)
     else:
+        heads = tuple(k[5:] for k in variables.get("params", {})
+                      if k.startswith("head_")) or ("hm", "wh", "reg")
         converted = convert_shufflenetv2(sd, heads=heads)
     epoch = payload.get("epoch", 0) if isinstance(payload, dict) else 0
     return {"epoch": epoch, "variables": converted}

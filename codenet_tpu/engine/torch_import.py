@@ -194,3 +194,201 @@ def convert_pretrained_backbone(sd, heads=("hm", "wh", "reg")):
     return {"params": params, "batch_stats": stats}
 
 
+
+
+def deconv_w(t):
+    """torch ConvTranspose2d IOHW -> HWIO (models.resnet applies the
+    spatial flip inside conv_transpose_4x4_s2, so no flip here)."""
+    return np.transpose(np.asarray(t, dtype=np.float32), (2, 3, 0, 1))
+
+
+def _conv(params, path, sd, key, bias_key=None):
+    _set(params, path, "kernel", conv_w(sd[key]))
+    if bias_key is not None and bias_key in sd:
+        _set(params, path, "bias", np.asarray(sd[bias_key], np.float32))
+
+
+def convert_resnet(sd, heads=("hm", "wh", "reg"), head_conv=64):
+    """Reference PoseResNet state_dict (msra_resnet.py:108-281) -> our
+    models.resnet.PoseResNet variables. Handles BasicBlock and Bottleneck
+    stages, the 3 bias-free ConvTranspose deconvs (deconv_layers.{0,3,6}),
+    and the sorted-head Sequentials ({head}.0/.2 when head_conv>0)."""
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+    params, stats = {}, {}
+    dst = (params, stats)
+    _conv(params, ["conv1"], sd, "conv1.weight")
+    _bn(dst, ["bn1"], sd, "bn1")
+    bottleneck = "layer1.0.conv3.weight" in sd
+    for s in range(1, 5):
+        b = 0
+        while f"layer{s}.{b}.conv1.weight" in sd:
+            base = f"layer{s}.{b}"
+            path = [f"layer{s}_{b}"]
+            _conv(params, path + ["Conv_0"], sd, f"{base}.conv1.weight")
+            _bn(dst, path + ["bn1"], sd, f"{base}.bn1")
+            _conv(params, path + ["Conv_1"], sd, f"{base}.conv2.weight")
+            _bn(dst, path + ["bn2"], sd, f"{base}.bn2")
+            if bottleneck:
+                _conv(params, path + ["Conv_2"], sd, f"{base}.conv3.weight")
+                _bn(dst, path + ["bn3"], sd, f"{base}.bn3")
+            if f"{base}.downsample.0.weight" in sd:
+                _conv(params, path + ["down_conv"], sd,
+                      f"{base}.downsample.0.weight")
+                _bn(dst, path + ["down_bn"], sd, f"{base}.downsample.1")
+            b += 1
+    for i in range(3):
+        params[f"deconv{i}_kernel"] = deconv_w(
+            sd[f"deconv_layers.{3 * i}.weight"])
+        _bn(dst, [f"deconv{i}_bn"], sd, f"deconv_layers.{3 * i + 1}")
+    for h in heads:
+        if head_conv > 0:
+            _conv(params, [f"head_{h}_conv1"], sd, f"{h}.0.weight",
+                  f"{h}.0.bias")
+            _conv(params, [f"head_{h}_out"], sd, f"{h}.2.weight",
+                  f"{h}.2.bias")
+        else:
+            _conv(params, [f"head_{h}_out"], sd, f"{h}.weight", f"{h}.bias")
+    return {"params": params, "batch_stats": stats}
+
+
+def _dla_block(dst, path, sd, prefix):
+    """One DLA BasicBlock (dlav0.py:29-59): conv1/bn1/conv2/bn2."""
+    params, _ = dst
+    _conv(params, path + ["Conv_0"], sd, f"{prefix}.conv1.weight")
+    _bn(dst, path + ["bn1"], sd, f"{prefix}.bn1")
+    _conv(params, path + ["Conv_1"], sd, f"{prefix}.conv2.weight")
+    _bn(dst, path + ["bn2"], sd, f"{prefix}.bn2")
+
+
+def _dla_tree(dst, path, sd, prefix, levels):
+    """Recursive Tree (dlav0.py:166-219): tree1/tree2 + root at the leaf
+    level, optional project on channel change."""
+    params, _ = dst
+    if f"{prefix}.project.0.weight" in sd:
+        _conv(params, path + ["project_conv"], sd,
+              f"{prefix}.project.0.weight")
+        _bn(dst, path + ["project_bn"], sd, f"{prefix}.project.1")
+    if levels == 1:
+        _dla_block(dst, path + ["tree1"], sd, f"{prefix}.tree1")
+        _dla_block(dst, path + ["tree2"], sd, f"{prefix}.tree2")
+        _conv(params, path + ["root", "Conv_0"], sd,
+              f"{prefix}.root.conv.weight")
+        _bn(dst, path + ["root", "bn"], sd, f"{prefix}.root.bn")
+    else:
+        _dla_tree(dst, path + ["tree1"], sd, f"{prefix}.tree1", levels - 1)
+        _dla_tree(dst, path + ["tree2"], sd, f"{prefix}.tree2", levels - 1)
+        if f"{prefix}.root.conv.weight" in sd:
+            _conv(params, path + ["root", "Conv_0"], sd,
+                  f"{prefix}.root.conv.weight")
+            _bn(dst, path + ["root", "bn"], sd, f"{prefix}.root.bn")
+
+
+def convert_dlav0(sd, heads=("hm", "wh", "reg"), down_ratio=4):
+    """Reference DLASeg/dla34 state_dict (dlav0.py:534-619) -> our
+    models.dlav0.DLASeg variables.
+
+    Limitation: the reference's IDAUp up_{i} is a per-channel grouped
+    ConvTranspose; our IDAUp stores ONE shared (2f,2f) kernel (every
+    channel is fill_up_weights-initialized identically, dlav0.py:429-438).
+    Channel 0's plane is taken; a ckpt whose up kernels diverged across
+    channels during training cannot be represented exactly."""
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+    params, stats = {}, {}
+    dst = (params, stats)
+    _conv(params, ["base_layer", "Conv_0"], sd, "base.base_layer.0.weight")
+    _bn(dst, ["base_layer", "bn"], sd, "base.base_layer.1")
+    for lv in (0, 1):
+        _conv(params, [f"level{lv}", "Conv_0"], sd,
+              f"base.level{lv}.0.weight")
+        _bn(dst, [f"level{lv}", "bn"], sd, f"base.level{lv}.1")
+    for lv, levels in zip((2, 3, 4, 5), (1, 2, 2, 1)):
+        _dla_tree(dst, [f"level{lv}"], sd, f"base.level{lv}", levels)
+    import re
+    ida_ids = sorted({int(m.group(1)) for k in sd
+                      for m in [re.match(r"dla_up\.ida_(\d+)\.", k)] if m})
+    for i in ida_ids:
+        base = f"dla_up.ida_{i}"
+        path = [f"ida_{i}"]
+        sub_ids = sorted({
+            int(m.group(2)) for k in sd
+            for m in [re.match(
+                rf"{re.escape(base)}\.(proj|up|node)_(\d+)\.", k)] if m})
+        for j in sub_ids:
+            if f"{base}.proj_{j}.0.weight" in sd:
+                _conv(params, path + [f"proj_{j}_conv"], sd,
+                      f"{base}.proj_{j}.0.weight")
+                _bn(dst, path + [f"proj_{j}_bn"], sd, f"{base}.proj_{j}.1")
+            if f"{base}.up_{j}.weight" in sd:
+                # grouped convT weight (C, 1, 2f, 2f): shared plane
+                w = np.asarray(sd[f"{base}.up_{j}.weight"], np.float32)
+                _set(params, path, f"up_{j}_kernel", w[0, 0])
+            if f"{base}.node_{j}.0.weight" in sd:
+                _conv(params, path + [f"node_{j}", "Conv_0"], sd,
+                      f"{base}.node_{j}.0.weight")
+                _bn(dst, path + [f"node_{j}", "bn"], sd,
+                    f"{base}.node_{j}.1")
+    for h in heads:
+        _conv(params, [f"head_{h}_conv1"], sd, f"{h}.0.weight",
+              f"{h}.0.bias")
+        _conv(params, [f"head_{h}_out"], sd, f"{h}.2.weight", f"{h}.2.bias")
+    return {"params": params, "batch_stats": stats}
+
+
+def _hg_residual(dst, path, sd, prefix):
+    """large_hourglass residual (large_hourglass.py:49-76)."""
+    params, _ = dst
+    _conv(params, path + ["Conv_0"], sd, f"{prefix}.conv1.weight")
+    _bn(dst, path + ["bn1"], sd, f"{prefix}.bn1")
+    _conv(params, path + ["Conv_1"], sd, f"{prefix}.conv2.weight")
+    _bn(dst, path + ["bn2"], sd, f"{prefix}.bn2")
+    if f"{prefix}.skip.0.weight" in sd:
+        _conv(params, path + ["skip_conv"], sd, f"{prefix}.skip.0.weight")
+        _bn(dst, path + ["skip_bn"], sd, f"{prefix}.skip.1")
+
+
+def _hg_chain(dst, path, sd, prefix):
+    """make_layer/_revr/_hg Sequential of residuals -> ResidualChain."""
+    j = 0
+    while f"{prefix}.{j}.conv1.weight" in sd:
+        _hg_residual(dst, path + [f"res{j}"], sd, f"{prefix}.{j}")
+        j += 1
+
+
+def _hg_module(dst, path, sd, prefix, n):
+    """Recursive kp_module (large_hourglass.py:128-186)."""
+    _hg_chain(dst, path + ["up1"], sd, f"{prefix}.up1")
+    _hg_chain(dst, path + ["low1"], sd, f"{prefix}.low1")
+    if n > 1:
+        _hg_module(dst, path + ["low2"], sd, f"{prefix}.low2", n - 1)
+    else:
+        _hg_chain(dst, path + ["low2"], sd, f"{prefix}.low2")
+    _hg_chain(dst, path + ["low3"], sd, f"{prefix}.low3")
+
+
+def convert_hourglass(sd, heads=("hm", "wh", "reg"), num_stacks=2):
+    """Reference exkp/large-hourglass state_dict (large_hourglass.py:
+    189-283) -> our models.hourglass.HourglassNet variables: pre stem,
+    recursive kp stacks, per-stack cnv/intermediate fusion, and the
+    per-stack no-BN head Sequentials ({head}.{stack}.0.conv + .1)."""
+    sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+    params, stats = {}, {}
+    dst = (params, stats)
+    _conv(params, ["pre_conv", "Conv_0"], sd, "pre.0.conv.weight")
+    _bn(dst, ["pre_conv", "bn"], sd, "pre.0.bn")
+    _hg_residual(dst, ["pre_res"], sd, "pre.1")
+    for s in range(num_stacks):
+        _hg_module(dst, [f"kp{s}"], sd, f"kps.{s}", 5)
+        _conv(params, [f"cnv{s}", "Conv_0"], sd, f"cnvs.{s}.conv.weight")
+        _bn(dst, [f"cnv{s}", "bn"], sd, f"cnvs.{s}.bn")
+        if s < num_stacks - 1:
+            _conv(params, [f"inters_conv{s}"], sd, f"inters_.{s}.0.weight")
+            _bn(dst, [f"inters_bn{s}"], sd, f"inters_.{s}.1")
+            _conv(params, [f"cnvs_conv{s}"], sd, f"cnvs_.{s}.0.weight")
+            _bn(dst, [f"cnvs_bn{s}"], sd, f"cnvs_.{s}.1")
+            _hg_residual(dst, [f"inter_res{s}"], sd, f"inters.{s}")
+        for h in heads:
+            _conv(params, [f"{h}{s}_conv", "Conv_0"], sd,
+                  f"{h}.{s}.0.conv.weight", f"{h}.{s}.0.conv.bias")
+            _conv(params, [f"{h}{s}_out"], sd, f"{h}.{s}.1.weight",
+                  f"{h}.{s}.1.bias")
+    return {"params": params, "batch_stats": stats}

@@ -58,6 +58,8 @@ def build_commands(cfg_name, opts):
         extra += ["--batch_size", str(opts.batch_size)]
     if opts.num_workers is not None:
         extra += ["--num_workers", str(opts.num_workers)]
+    if getattr(opts, "lr", None):
+        extra += ["--lr", str(opts.lr)]
 
     py = [sys.executable]
     train = py + ["main.py", "ctdet", *flags, *extra,
@@ -96,6 +98,9 @@ def main(argv=None):
     ap.add_argument("--lr_step", default="50,70")
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--num_workers", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override the reference 1.25e-4 (e.g. scaled for "
+                         "a larger batch, or higher for synthetic runs)")
     ap.add_argument("--dry_run", action="store_true",
                     help="print the command lines and exit")
     ap.add_argument("--smoke", action="store_true",

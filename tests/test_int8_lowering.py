@@ -96,3 +96,21 @@ def test_act_clamp_fake_matches_int8_exactly():
     unclamped = np.asarray(Q.fake_quant_act(x, 8, x_min, x_max,
                                             "asymmetric", clamp=False))
     assert (np.abs(unclamped - clamped) > 1e-6).sum() > 10
+
+
+def test_layer_audit_lowering_noise_floor():
+    """tools_tpu/int8_audit.py (SURVEY hard part #6): on a calibrated
+    random model, EVERY layer's real-int8 output must track the
+    clamped-fake-quant output to the requant noise floor — isolating
+    integer-lowering error from the (expected, separately-reported)
+    clamp-semantics divergence."""
+    import sys
+    sys.path.insert(0, "tools_tpu")
+    from int8_audit import run_audit
+    rows = run_audit(ckpt=None, input_res=64, seed=0)
+    assert len(rows) > 100  # every module captured, not a stub walk
+    worst = max(rows, key=lambda r: r["int8_vs_clamped"])
+    assert worst["int8_vs_clamped"] < 0.05, worst
+    # and the audit must be able to SEE clamp divergence when ranges
+    # undershoot (otherwise the 0-lowering result proves nothing)
+    assert max(r["clamped_vs_qat"] for r in rows) > 0.01

@@ -173,16 +173,27 @@ def batched_test(opt):
     detector = detector_factory(opt.task)(opt)
     bs = opt.batch_eval
 
+    # per-stage attribution (VERDICT r3 #7): thread-summed disk/warp cost,
+    # main-thread stall waiting on loads, device dispatch, host bucketing
+    import time as _time
+    stage = {"disk": 0.0, "warp": 0.0, "stall": 0.0, "dispatch": 0.0,
+             "post": 0.0}
+
     def load_one(ind):
         img_id = dataset.images[ind]
         img_info = dataset.coco.loadImgs(ids=[img_id])[0]
         img_path = os.path.join(dataset.img_dir, img_info["file_name"])
+        t0 = _time.time()
         image = cv2.imread(img_path)
+        t1 = _time.time()
+        stage["disk"] += t1 - t0
         if device_warp:
             pr = detector.pre_process_raw(image)
             if pr is not None:  # fits the static raw buffer
+                stage["warp"] += _time.time() - t1
                 return ("raw", img_id) + pr
         images, meta = detector.pre_process(image, 1.0)
+        stage["warp"] += _time.time() - t1
         return ("host", img_id, images, meta)
 
     results = {}
@@ -202,7 +213,9 @@ def batched_test(opt):
                             for i in range(min(window, n)))
             nxt = len(pending)
             while pending:
+                t0 = _time.time()
                 item = pending.popleft().result()
+                stage["stall"] += _time.time() - t0
                 if nxt < n:
                     pending.append(pool.submit(load_one, nxt))
                     nxt += 1
@@ -223,10 +236,14 @@ def batched_test(opt):
         def drain(force=False):
             while inflight and (force or len(inflight) > 1):
                 ids, dev = inflight.popleft()
-                dets = np.asarray(dev)
+                t0 = _time.time()
+                dets = np.asarray(dev)  # device sync point
+                t1 = _time.time()
+                stage["dispatch"] += t1 - t0
                 for i, img_id in enumerate(ids):
                     per = detector.post_process(dets[i], None)
                     results[img_id] = detector.merge_outputs([per])
+                stage["post"] += _time.time() - t1
 
         def run_chunk_host(chunk):
             ids = [c[1] for c in chunk]
@@ -285,6 +302,13 @@ def batched_test(opt):
             pass_times.append(_time.time() - t0)
             print("batched eval: {} images in {:.1f}s".format(
                 done, pass_times[-1]))
+            print("  stages (s): disk {disk:.2f} warp {warp:.2f} "
+                  "(thread-sum) | stall {stall:.2f} devsync {dispatch:.2f} "
+                  "post {post:.2f} (critical path)".format(**stage),
+                  flush=True)
+            opt._bench_stage_times = dict(stage)
+            for k in stage:
+                stage[k] = 0.0
         opt._bench_pass_times = pass_times
     os.makedirs(opt.save_dir, exist_ok=True)
     return dataset.run_eval(results, opt.save_dir)

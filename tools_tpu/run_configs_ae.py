@@ -98,6 +98,8 @@ def main(argv=None):
     ap.add_argument("--lr_step", default="50,70")
     ap.add_argument("--batch_size", type=int, default=32)
     ap.add_argument("--num_workers", type=int, default=None)
+    ap.add_argument("--retries", type=int, default=2,
+                    help="per-stage retries after tunnel outages")
     ap.add_argument("--lr", type=float, default=None,
                     help="override the reference 1.25e-4 (e.g. scaled for "
                          "a larger batch, or higher for synthetic runs)")
@@ -127,6 +129,19 @@ def main(argv=None):
                 continue
             print(f"[{name}:{stage}] {' '.join(cmd)}", flush=True)
             rc = subprocess.call(cmd, cwd=REPO)
+            # the axon TPU tunnel has transient multi-minute outages; a
+            # dead stage is retried from its own model_last (--resume)
+            for attempt in range(args.retries):
+                if rc == 0:
+                    break
+                retry_cmd = list(cmd)
+                if stage == "fp32_train" and "--resume" not in retry_cmd \
+                        and os.path.exists(
+                            os.path.join(exp_dir, "model_last.ckpt")):
+                    retry_cmd.append("--resume")
+                print(f"[{name}:{stage}] rc={rc}; retry "
+                      f"{attempt + 1}/{args.retries}", flush=True)
+                rc = subprocess.call(retry_cmd, cwd=REPO)
             if rc != 0:
                 print(f"[{name}:{stage}] FAILED rc={rc}", file=sys.stderr)
                 return rc

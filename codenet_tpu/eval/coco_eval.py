@@ -22,25 +22,25 @@ OKS_SIGMAS = np.array([
 
 
 def bbox_iou_xywh(dts, gts, iscrowd):
-    """IoU between det and gt boxes in xywh (pycocotools maskUtils.iou)."""
+    """IoU between det and gt boxes in xywh (pycocotools maskUtils.iou
+    semantics: crowd gt -> intersection / det area), vectorized (D, G).
+    Loop-form parity is pinned by tests/test_coco_oracle.py."""
     d = np.asarray(dts, np.float64).reshape(-1, 4)
     g = np.asarray(gts, np.float64).reshape(-1, 4)
-    ious = np.zeros((len(d), len(g)))
-    for j, gt in enumerate(g):
-        gx1, gy1, gw, gh = gt
-        garea = gw * gh
-        for i, dt in enumerate(d):
-            dx1, dy1, dw, dh = dt
-            darea = dw * dh
-            ix = min(dx1 + dw, gx1 + gw) - max(dx1, gx1)
-            iy = min(dy1 + dh, gy1 + gh) - max(dy1, gy1)
-            if ix <= 0 or iy <= 0:
-                continue
-            inter = ix * iy
-            union = darea if iscrowd[j] else darea + garea - inter
-            if union > 0:
-                ious[i, j] = inter / union
-    return ious
+    if len(d) == 0 or len(g) == 0:
+        return np.zeros((len(d), len(g)))
+    ix = (np.minimum(d[:, None, 0] + d[:, None, 2], g[None, :, 0]
+                     + g[None, :, 2])
+          - np.maximum(d[:, None, 0], g[None, :, 0]))
+    iy = (np.minimum(d[:, None, 1] + d[:, None, 3], g[None, :, 1]
+                     + g[None, :, 3])
+          - np.maximum(d[:, None, 1], g[None, :, 1]))
+    inter = np.where((ix > 0) & (iy > 0), ix * iy, 0.0)
+    darea = (d[:, 2] * d[:, 3])[:, None]
+    garea = (g[:, 2] * g[:, 3])[None, :]
+    crowd = np.asarray(iscrowd, bool)[None, :]
+    union = np.where(crowd, darea, darea + garea - inter)
+    return np.where(union > 0, inter / np.where(union > 0, union, 1.0), 0.0)
 
 
 def oks_iou(dts_kps, gts_kps, gts_boxes, gts_areas):
@@ -121,19 +121,22 @@ class CocoDetEval:
 
     # -- grouping ----------------------------------------------------------
     def _gts(self, img_id, cat_id):
-        anns = self.gt.loadAnns(self.gt.getAnnIds(imgIds=[img_id]))
-        out = []
-        for a in anns:
-            if a["category_id"] != cat_id:
-                continue
-            a = dict(a)
-            a["area"] = a.get("area", a["bbox"][2] * a["bbox"][3])
-            a["iscrowd"] = a.get("iscrowd", 0)
-            a["ignore"] = a.get("ignore", 0) or a["iscrowd"]
-            if self.iou_type == "keypoints":
-                a["ignore"] = a["ignore"] or (a.get("num_keypoints", 0) == 0)
-            out.append(a)
-        return out
+        # one-time (img, cat) index: the per-area-range re-evaluation only
+        # rewrites "_ignore", so the prepared dicts are shared across calls
+        if not hasattr(self, "_gt_index"):
+            self._gt_index = {}
+            for a in self.gt.loadAnns(
+                    self.gt.getAnnIds(imgIds=self.img_ids)):
+                a = dict(a)
+                a["area"] = a.get("area", a["bbox"][2] * a["bbox"][3])
+                a["iscrowd"] = a.get("iscrowd", 0)
+                a["ignore"] = a.get("ignore", 0) or a["iscrowd"]
+                if self.iou_type == "keypoints":
+                    a["ignore"] = a["ignore"] or (
+                        a.get("num_keypoints", 0) == 0)
+                self._gt_index.setdefault(
+                    (a["image_id"], a["category_id"]), []).append(a)
+        return self._gt_index.get((img_id, cat_id), [])
 
     def _dts(self, img_id, cat_id):
         key = (img_id, cat_id)
@@ -160,17 +163,33 @@ class CocoDetEval:
         dts = [dts[i] for i in dt_order[:max_det]]
         iscrowd = [int(g["iscrowd"]) for g in gts]
 
-        if len(dts) and len(gts):
-            if self.iou_type == "keypoints":
-                ious = oks_iou([d["keypoints"] for d in dts],
-                               [g["keypoints"] for g in gts],
-                               [g["bbox"] for g in gts],
-                               [g["area"] for g in gts])
+        # IoU is area-range independent: compute once per (img, cat) on the
+        # score-sorted dts / unsorted gts and permute (pycocotools
+        # computeIoU caching)
+        if not hasattr(self, "_iou_cache"):
+            self._iou_cache = {}
+        key = (img_id, cat_id)
+        if key not in self._iou_cache:
+            base_gts = self._gts(img_id, cat_id)
+            base_dts = [self._dts(img_id, cat_id)[i] for i in dt_order]
+            if len(base_dts) > max_det:
+                base_dts = base_dts[:max_det]
+            if len(base_dts) and len(base_gts):
+                if self.iou_type == "keypoints":
+                    tab = oks_iou([d["keypoints"] for d in base_dts],
+                                  [g["keypoints"] for g in base_gts],
+                                  [g["bbox"] for g in base_gts],
+                                  [g["area"] for g in base_gts])
+                else:
+                    tab = bbox_iou_xywh(
+                        [d["bbox"] for d in base_dts],
+                        [g["bbox"] for g in base_gts],
+                        [int(g["iscrowd"]) for g in base_gts])
             else:
-                ious = bbox_iou_xywh([d["bbox"] for d in dts],
-                                     [g["bbox"] for g in gts], iscrowd)
-        else:
-            ious = np.zeros((len(dts), len(gts)))
+                tab = np.zeros((len(base_dts), len(base_gts)))
+            self._iou_cache[key] = tab
+        ious = self._iou_cache[key][:len(dts)][:, gt_order] \
+            if self._iou_cache[key].size else self._iou_cache[key]
 
         T = len(self.iou_thrs)
         G = len(gts)

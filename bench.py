@@ -201,7 +201,7 @@ def bench_e2e(n_images=256, batch=64, input_res=256, device_warp=True,
     ips = n_images / opt._bench_pass_times[-1]
     import shutil
     shutil.rmtree(root, ignore_errors=True)
-    return ips
+    return ips, getattr(opt, "_bench_stage_times", None)
 
 
 def _note(msg):
@@ -246,10 +246,10 @@ def main():
         print(json.dumps({"metric": "ctdet_inference_throughput_256",
                           "value": None, "unit": "images/sec/chip",
                           "error": "tpu_unavailable_after_probe_window",
-                          "note": "last measured numbers: BENCH_r02.json +"
-                                  " NOTES.md #18 (19,476 bf16 / 20,234"
-                                  " int8 / 3,644 train); unmeasured"
-                                  " changes pending: NOTES.md #19-#25"}))
+                          "note": "last measured numbers: BENCH_r03.json"
+                                  " (18,244 bf16 / 21,391 int8 / 3,658"
+                                  " train bf16 / e2e 31 devwarp + 74"
+                                  " hostwarp)"}))
         sys.exit(1)
 
     t0 = time.time()
@@ -263,10 +263,29 @@ def main():
         out = bench_train(dtype="bfloat16", batch=128, with_mfu=True)
         ips, flops = out if isinstance(out, tuple) else (out, None)
         if flops:
-            # v5e bf16 peak 197 TFLOP/s; flops is per step (batch 128)
+            # MFU both ways (VERDICT r3 #6): "executed" uses XLA's cost
+            # analysis of the compiled step (includes the deform
+            # formulation's gather/one-hot overhead FLOPs; Pallas kernels
+            # report 0 so this is a floor); "useful" charges only the
+            # model's analytic forward MACs x 3 (fwd + 2x bwd), the number
+            # a perfect implementation would need. v5e bf16 peak 197 TF/s.
             mfu = ips / 128.0 * flops / 197e12
-            extra["train_mfu_pct"] = round(mfu * 100, 2)
+            extra["train_mfu_executed_pct"] = round(mfu * 100, 2)
             extra["train_step_gflops"] = round(flops / 1e9, 1)
+        try:
+            import jax.numpy as jnp
+            from codenet_tpu.models import create_model
+            from codenet_tpu.utils.profile import profile_model
+            model = create_model("shufflenetv2",
+                                 {"hm": 20, "wh": 2, "reg": 2}, 64)
+            macs, _ = profile_model(model, (1, 256, 256, 3))
+            if macs:
+                useful = 3.0 * 2.0 * macs  # per image, fwd+bwd
+                extra["train_mfu_useful_pct"] = round(
+                    ips * useful / 197e12 * 100, 2)
+                extra["model_gmacs_256"] = round(macs / 1e9, 3)
+        except Exception as e:
+            _note(f"[bench] useful-MFU unavailable: {e}")
         return ips
 
     entries = {
@@ -289,6 +308,11 @@ def main():
         t0 = time.time()
         try:
             v = fn()
+            if isinstance(v, tuple):  # e2e: (img/s, stage breakdown)
+                v, stages = v
+                if stages:
+                    extra[name + "_stages_s"] = {
+                        k: round(t, 2) for k, t in stages.items()}
             extra[name] = round(v, 1)
             _note(f"[bench] {name}: {v:.0f} img/s t={time.time() - t0:.0f}s")
         except Exception as e:  # one failed entry must not kill the line

@@ -179,9 +179,18 @@ def run_deltas(train_images=96, test_images=24, input_res=128,
                           "--wt-percentile", "--int8_infer"]),
     ]
     for name, cmd in stages:
+        # marker-resumable: a tunnel outage mid-harness must not force
+        # retraining completed stages on rerun
+        marker = os.path.join(REPO, "exp", "ctdet",
+                              cmd[cmd.index("--exp_id") + 1],
+                              f".{name}_done")
+        if os.path.exists(marker):
+            print(f"[deltas] {name} done already, skipping", flush=True)
+            continue
         print("+", " ".join(cmd), flush=True)
         if subprocess.call(cmd, cwd=REPO) != 0:
             raise SystemExit(f"{name} failed")
+        open(marker, "w").close()
     aps = {}
     for name, cmd in evals:
         print("+", " ".join(cmd), flush=True)

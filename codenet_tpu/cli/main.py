@@ -49,7 +49,17 @@ def run_training(opt, qspec=None, load_fp32_then_quantize=False):
         val_loader.dataset.run_eval(preds, opt.save_dir)
         return trainer
 
-    train_loader = DataLoader(Dataset(opt, "train"), opt.batch_size,
+    train_dataset = Dataset(opt, "train")
+    if getattr(opt, "device_cache", False):
+        # HBM-resident raw images: one bulk upload, then steps ship only
+        # indices + warp matrices (data/device_cache.py)
+        from ..data.device_cache import ImageCache
+        cache = ImageCache.build(train_dataset)
+        print("device_cache: {} images, {:.1f} MB -> HBM".format(
+            len(train_dataset), cache.nbytes / 1e6))
+        train_dataset._image_cache_dims = cache.dims
+        trainer.image_cache = cache.to_device(trainer.mesh)
+    train_loader = DataLoader(train_dataset, opt.batch_size,
                               shuffle=True, num_workers=opt.num_workers,
                               seed=opt.seed)
 

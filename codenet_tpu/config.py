@@ -143,6 +143,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device_warp_max_res", type=int, default=768,
                    help="static raw-image buffer size for --device_warp; "
                         "larger images fall back to host warp")
+    # TPU extension (data/device_cache.py): keep the whole train split's
+    # raw pixels on device and ship only (img_idx, warp matrix, aug
+    # state, sparse targets) per step — per-step host->device traffic
+    # drops from ~200 KB/img to ~50 B/img, which turns feed-bound
+    # training (thin tunnel or slow disk) back into compute-bound.
+    p.add_argument("--device_cache", action="store_true",
+                   help="cache the train split's raw images in HBM and "
+                        "warp/augment on device (random aug stream is "
+                        "unchanged; interpolation moves from cv2 "
+                        "fixed-point to f32)")
     # TPU extension: ship uint8 inputs and run color-aug + normalization
     # inside the jitted step (4x less host->device traffic). Set
     # --host_normalize for the reference's host-side numpy path.

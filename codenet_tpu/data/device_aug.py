@@ -66,12 +66,18 @@ def device_preprocess(inp_u8, perm, alphas, light_add, mean, std):
     alphas: (B, 3) f32 by func id; light_add: (B, 3) f32;
     mean/std: (3,) f32. Returns (B, H, W, 3) f32.
     """
+    return color_norm_f01(inp_u8.astype(jnp.float32) / 255.0, perm,
+                          alphas, light_add, mean, std)
+
+
+def color_norm_f01(inp_f01, perm, alphas, light_add, mean, std):
+    """Color aug + normalize over f32 images already scaled to [0, 1]
+    (shared by the uint8-ship path and the HBM-cache warp path)."""
     gray_w = jnp.asarray(_BGR_GRAY, jnp.float32)
     mean = jnp.asarray(mean, jnp.float32).reshape(3)
     std = jnp.asarray(std, jnp.float32).reshape(3)
 
-    def one(img_u8, p, a, light):
-        img = img_u8.astype(jnp.float32) / 255.0
+    def one(img, p, a, light):
         gs = img @ gray_w                       # (H, W)
         gs_mean = jnp.mean(gs)
 
@@ -99,12 +105,28 @@ def device_preprocess(inp_u8, perm, alphas, light_add, mean, std):
         img = img + light[None, None, :]
         return (img - mean) / std
 
-    return jax.vmap(one)(inp_u8, perm, alphas, light_add)
+    return jax.vmap(one)(inp_f01, perm, alphas, light_add)
 
 
-def model_input(batch, mean, std):
-    """Resolve the model input from a batch: device path (input_u8 + aug
-    state) or the legacy host-normalized f32 'input'."""
+def model_input(batch, mean, std, out_hw=None):
+    """Resolve the model input from a batch: HBM-cache path (img_idx +
+    warp_ti against the device-resident raw-image stack — see
+    data/device_cache.py), device path (input_u8 + aug state), or the
+    legacy host-normalized f32 'input'. out_hw = static (input_h,
+    input_w) for the cache warp."""
+    if "img_idx" in batch:
+        from .affine import warp_affine_jax
+        cache = batch["cache_images"]           # (N, Hc, Wc, 3) uint8
+        imgs = cache[batch["img_idx"]]          # (B, Hc, Wc, 3)
+        oh, ow = out_hw
+
+        def warp_one(img_u8, ti):
+            return warp_affine_jax(img_u8.astype(jnp.float32), ti, oh, ow)
+
+        warped = jax.vmap(warp_one)(imgs, batch["warp_ti"]) / 255.0
+        return color_norm_f01(warped, batch["aug_perm"],
+                              batch["aug_alphas"], batch["aug_light"],
+                              mean, std)
     if "input_u8" in batch:
         return device_preprocess(batch["input_u8"], batch["aug_perm"],
                                  batch["aug_alphas"], batch["aug_light"],

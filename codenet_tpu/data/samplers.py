@@ -29,7 +29,10 @@ def finish_input(sampler, inp_u8, is_train, rng=None):
     """Shared input tail: either the reference's host path (/255 ->
     color_aug -> normalize, f32 'input') or device mode ('input_u8' +
     7 floats of aug state; the jitted step runs device_aug.device_
-    preprocess) — 4x less host->device traffic.
+    preprocess) — 4x less host->device traffic. inp_u8=None is the
+    HBM-cache mode (data/device_cache.py): only the aug state is
+    emitted; the caller adds img_idx + warp_ti and the jitted step
+    gathers/warps from the device-resident stack.
 
     rng=None keeps the reference's shared `_data_rng` stream (exact
     parity, single-worker reproducible); an explicit rng makes the draws
@@ -38,6 +41,9 @@ def finish_input(sampler, inp_u8, is_train, rng=None):
     opt = sampler.opt
     data_rng = rng if rng is not None else sampler._data_rng
     if getattr(opt, "host_normalize", False):
+        if inp_u8 is None:
+            raise ValueError("--device_cache requires the device input "
+                             "path (drop --host_normalize)")
         inp = inp_u8.astype(np.float32) / 255.0
         if is_train and not opt.no_color_aug:
             color_aug(data_rng, inp, sampler._eig_val,
@@ -49,9 +55,11 @@ def finish_input(sampler, inp_u8, is_train, rng=None):
             data_rng, sampler._eig_val, sampler._eig_vec, py_random=rng)
     else:
         perm, alphas, light = identity_aug_params()
-    return {"input_u8": np.ascontiguousarray(inp_u8),
-            "aug_perm": np.int32(perm), "aug_alphas": alphas,
-            "aug_light": light}
+    fields = {"aug_perm": np.int32(perm), "aug_alphas": alphas,
+              "aug_light": light}
+    if inp_u8 is not None:
+        fields["input_u8"] = np.ascontiguousarray(inp_u8)
+    return fields
 
 
 def coco_box_to_bbox(box):
@@ -79,13 +87,30 @@ class CTDetSampler:
         img = cv2.imread(img_path)
         return img_id, img, anns
 
+    def load_raw_image(self, index):
+        """Raw (unwarped) pixels for the HBM cache (device_cache.py)."""
+        return self._load_image_anns(index)[1]
+
     def get_sample(self, index, rng=None):
         explicit_rng = rng
         rng = rng if rng is not None else np.random
-        img_id, img, anns = self._load_image_anns(index)
+        # HBM-cache mode (data/device_cache.py): the pixels already sit on
+        # device; the host only needs dims + annotations and emits the
+        # warp matrix instead of warped pixels. Train split only — the
+        # trainer holds one cache, built over its train dataset.
+        cache_dims = getattr(self, "_image_cache_dims", None)
+        use_cache = cache_dims is not None and self.split == "train"
+        if use_cache:
+            img_id = self.images[index]
+            anns = self.coco.loadAnns(
+                ids=self.coco.getAnnIds(imgIds=[img_id]))
+            height, width = int(cache_dims[index][0]), \
+                int(cache_dims[index][1])
+            img = None
+        else:
+            img_id, img, anns = self._load_image_anns(index)
+            height, width = img.shape[0], img.shape[1]
         num_objs = min(len(anns), self.max_objs)
-
-        height, width = img.shape[0], img.shape[1]
         c = np.array([width / 2.0, height / 2.0], dtype=np.float32)
         if self.opt.keep_res:
             input_h = (height | self.opt.pad) + 1
@@ -111,14 +136,26 @@ class CTDetSampler:
                 s = s * np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf)
             if rng.random() < self.opt.flip:
                 flipped = True
-                img = img[:, ::-1, :]
+                if img is not None:
+                    img = img[:, ::-1, :]
                 c[0] = width - c[0] - 1
 
         trans_input = get_affine_transform(c, s, 0, [input_w, input_h])
-        inp_u8 = cv2.warpAffine(img, np.asarray(trans_input),
-                                (input_w, input_h), flags=cv2.INTER_LINEAR)
-        input_fields = finish_input(self, inp_u8, self.split == "train",
-                                     rng=explicit_rng)
+        if use_cache:
+            ti = get_affine_transform(c, s, 0, [input_w, input_h], inv=1)
+            if flipped:
+                from .device_cache import flip_compose
+                ti = flip_compose(ti, width)
+            input_fields = finish_input(self, None, True, rng=explicit_rng)
+            input_fields.update(img_idx=np.int32(index),
+                                warp_ti=np.asarray(ti, np.float32))
+        else:
+            inp_u8 = cv2.warpAffine(img, np.asarray(trans_input),
+                                    (input_w, input_h),
+                                    flags=cv2.INTER_LINEAR)
+            input_fields = finish_input(self, inp_u8,
+                                        self.split == "train",
+                                        rng=explicit_rng)
 
         output_h = input_h // self.opt.down_ratio
         output_w = input_w // self.opt.down_ratio
@@ -130,8 +167,9 @@ class CTDetSampler:
         # umich_hm) — the dense hm is the largest target tensor. Dense
         # host drawing stays for mse_loss (msra gaussian) and dense_wh
         # (which samples hm while drawing).
-        sparse_hm = ("input_u8" in input_fields and not self.opt.mse_loss
-                     and not self.opt.dense_wh)
+        sparse_hm = (("input_u8" in input_fields
+                      or "img_idx" in input_fields)
+                     and not self.opt.mse_loss and not self.opt.dense_wh)
         hm = np.zeros((output_h, output_w, num_classes), dtype=np.float32)
         hm_ct = np.zeros((self.max_objs, 2), dtype=np.int32)
         hm_radius = np.zeros((self.max_objs,), dtype=np.int32)

@@ -33,12 +33,13 @@ from ..models import decode as D
 from ..utils import post_process as PP
 
 
-def make_hook_forward(model, mean, std, down_ratio, num_classes):
+def make_hook_forward(model, mean, std, down_ratio, num_classes,
+                      input_hw=None):
     """Jitted: batch -> (f32 input, dense hm target, last-stack outputs)."""
 
     @jax.jit
     def fwd(variables, batch):
-        inp = model_input(batch, mean, std)
+        inp = model_input(batch, mean, std, out_hw=input_hw)
         batch2 = resolve_targets(batch, inp, down_ratio, num_classes)
         out = model.apply(variables, inp, train=False)
         out = out[-1] if isinstance(out, (list, tuple)) else out
@@ -55,7 +56,8 @@ class TrainHooks:
         self.task = opt.task
         self._fwd = make_hook_forward(
             model, np.asarray(opt.mean), np.asarray(opt.std),
-            opt.down_ratio, opt.num_classes)
+            opt.down_ratio, opt.num_classes,
+            input_hw=(opt.input_h, opt.input_w))
 
     # -- shared helpers ---------------------------------------------------
     def _first_image(self, inp, batch):

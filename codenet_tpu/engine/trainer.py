@@ -49,7 +49,7 @@ class LossOpts:
 
 
 def make_train_step(model, loss_fn, loss_opts, tx, quantized, mean, std,
-                    down_ratio=4, num_classes=None):
+                    down_ratio=4, num_classes=None, input_hw=None):
     """Build the jitted train step.
 
     quantized=False: mutate batch_stats (BN running averages).
@@ -69,7 +69,7 @@ def make_train_step(model, loss_fn, loss_opts, tx, quantized, mean, std,
     def train_step(variables, opt_state, batch):
         params = variables["params"]
         aux_vars = {k: v for k, v in variables.items() if k != "params"}
-        inp = model_input(batch, mean, std)
+        inp = model_input(batch, mean, std, out_hw=input_hw)
         batch = resolve_targets(batch, inp, down_ratio, num_classes)
 
         def compute_loss(p):
@@ -106,13 +106,13 @@ def make_train_step(model, loss_fn, loss_opts, tx, quantized, mean, std,
 
 
 def make_val_step(model, loss_fn, loss_opts, mean, std, down_ratio=4,
-                  num_classes=None):
+                  num_classes=None, input_hw=None):
     from ..models.fused_heads import apply_fused_heads, can_fuse_heads
     fuse = can_fuse_heads(model, None)
 
     @jax.jit
     def val_step(variables, batch):
-        inp = model_input(batch, mean, std)
+        inp = model_input(batch, mean, std, out_hw=input_hw)
         batch = resolve_targets(batch, inp, down_ratio, num_classes)
         if fuse:
             # single-stack models read the neck once (fused heads);
@@ -137,7 +137,8 @@ def make_oracle_val_step(model, loss_fn, loss_opts, opt):
     from ..utils.oracle import gen_oracle_map
 
     def val_step(variables, batch):
-        inp = model_input(batch, opt.mean, opt.std)
+        inp = model_input(batch, opt.mean, opt.std,
+                          out_hw=(opt.input_h, opt.input_w))
         batch = resolve_targets(batch, inp, opt.down_ratio,
                                 opt.num_classes)
         out = model.apply(variables, inp, train=False)
@@ -214,7 +215,12 @@ class Trainer:
                                           mean=np.asarray(opt.mean),
                                           std=np.asarray(opt.std),
                                           down_ratio=opt.down_ratio,
-                                          num_classes=opt.num_classes)
+                                          num_classes=opt.num_classes,
+                                          input_hw=(opt.input_h,
+                                                    opt.input_w))
+        # HBM-resident raw-image stack (data/device_cache.py); set by the
+        # CLI when --device_cache — run_epoch attaches it to cache batches
+        self.image_cache = None
         oracle_on = any(getattr(opt, f, False) for f in
                         ("eval_oracle_hm", "eval_oracle_wh",
                          "eval_oracle_offset", "eval_oracle_dep",
@@ -229,7 +235,9 @@ class Trainer:
                                           mean=np.asarray(opt.mean),
                                           std=np.asarray(opt.std),
                                           down_ratio=opt.down_ratio,
-                                          num_classes=opt.num_classes)
+                                          num_classes=opt.num_classes,
+                                          input_hw=(opt.input_h,
+                                                    opt.input_w))
         self.variables = None
         self.opt_state = None
         self._hooks = None
@@ -284,14 +292,18 @@ class Trainer:
             if it >= n_iters:
                 break
             meta = batch.pop("meta", None)
-            bs = batch["input_u8" if "input_u8" in batch
-                       else "input"].shape[0]
+            bs = batch[("img_idx" if "img_idx" in batch else
+                        "input_u8" if "input_u8" in batch
+                        else "input")].shape[0]
             if bs % self.mesh.shape.get("data", 1) == 0:
                 batch = shard_batch(self.mesh, batch)
             else:
                 # e.g. the reference's batch-1 val loader on a multi-chip
                 # mesh: batch dim not divisible -> default placement
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            if "img_idx" in batch and self.image_cache is not None:
+                # already device-resident + mesh-replicated: no transfer
+                batch["cache_images"] = self.image_cache
             data_time.update(time.time() - end)
 
             if phase == "train":

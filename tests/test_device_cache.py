@@ -1,0 +1,198 @@
+"""HBM-resident dataset cache (--device_cache, data/device_cache.py).
+
+The cache path replaces (host cv2.imread + cv2.warpAffine + uint8 ship)
+with (device gather from a padded stack + warp_affine_jax), keeping the
+SAME random crop/scale/flip/color-aug stream. Pins:
+  * per-pixel warp parity vs the host cv2 path (<= 2/255 bilinear
+    fixed-point-vs-f32 difference), flipped and unflipped,
+  * train-step loss/gradient parity vs the host path on the same batch,
+  * CLI end-to-end: main.py --device_cache trains, checkpoint evals,
+  * the 8-device mesh path (replicated cache, sharded indices).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytest.importorskip("cv2")
+
+from codenet_tpu import config as cfg
+from synthetic import make_voc_dataset
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    make_voc_dataset(str(root))
+    return str(root)
+
+
+def _opt(voc_root, extra=""):
+    args = ("ctdet --dataset pascal --arch shufflenetv2 --input_res 64 "
+            "--batch_size 2 --num_workers 1 --num_epochs 1 "
+            "--val_intervals -1 --exp_id devcache " + extra)
+    opt = cfg.parse(args.split())
+    opt.data_dir = voc_root.replace("/voc", "")
+    opt = cfg.update_dataset_info_and_set_heads(
+        opt, cfg.DATASET_SPECS["pascal"])
+    return opt
+
+
+def _datasets(voc_root, extra=""):
+    """(host-path dataset, cache-path dataset + ImageCache) pair."""
+    from codenet_tpu.data.datasets import get_dataset
+    from codenet_tpu.data.device_cache import ImageCache
+    Dataset = get_dataset("pascal", "ctdet")
+    host_ds = Dataset(_opt(voc_root, extra), "train")
+    cache_ds = Dataset(_opt(voc_root, "--device_cache " + extra), "train")
+    cache = ImageCache.build(cache_ds)
+    cache_ds._image_cache_dims = cache.dims
+    return host_ds, cache_ds, cache
+
+
+def _device_input(sample, cache, mean, std, hw):
+    """Run the jitted-step input path for one cache-mode sample."""
+    import jax.numpy as jnp
+    from codenet_tpu.data.device_aug import model_input
+    batch = {k: np.asarray(v)[None] for k, v in sample.items()
+             if k != "meta"}
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    batch["cache_images"] = jnp.asarray(cache.images)
+    return np.asarray(model_input(batch, mean, std, out_hw=hw)[0])
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_warp_matches_cv2(voc_root, seed):
+    """Same rng stream -> same geometry; pixels match cv2 to ~1 LSB."""
+    host_ds, cache_ds, cache = _datasets(voc_root)
+    mean, std = np.asarray(host_ds.mean), np.asarray(host_ds.std)
+    for idx in range(min(4, len(host_ds))):
+        h = host_ds.get_sample(idx, rng=np.random.RandomState(seed))
+        c = cache_ds.get_sample(idx, rng=np.random.RandomState(seed))
+        # identical target/aug draws (geometry stream unchanged)
+        np.testing.assert_array_equal(h["reg_mask"], c["reg_mask"])
+        np.testing.assert_allclose(h["wh"], c["wh"], atol=1e-5)
+        np.testing.assert_array_equal(h["ind"], c["ind"])
+        np.testing.assert_allclose(h["aug_alphas"], c["aug_alphas"])
+        assert int(c["img_idx"]) == idx
+        # pixel parity: device gather+warp vs the shipped cv2 warp
+        got = _device_input(c, cache, mean, std, (64, 64))
+        from codenet_tpu.data.device_aug import device_preprocess
+        want = np.asarray(device_preprocess(
+            h["input_u8"][None], np.asarray([h["aug_perm"]]),
+            h["aug_alphas"][None], h["aug_light"][None], mean, std))[0]
+        # cv2 INTER_LINEAR is 5-bit fixed point; f32 bilinear differs by
+        # <= ~1 uint8 LSB -> (1/255)/std ~= 0.014 normalized
+        assert np.abs(got - want).max() < 0.06
+        assert np.abs(got - want).mean() < 0.01
+
+
+def test_flip_compose_exact(voc_root):
+    """flip_compose must equal warping the flipped image."""
+    import cv2
+    import jax.numpy as jnp
+    from codenet_tpu.data.affine import (get_affine_transform,
+                                         warp_affine_jax)
+    from codenet_tpu.data.device_cache import flip_compose
+    rng = np.random.RandomState(1)
+    img = (rng.rand(48, 72, 3) * 255).astype(np.float32)
+    c = np.array([30.0, 20.0], np.float32)
+    s = 60.0
+    ti = get_affine_transform(c, s, 0, [64, 64], inv=1)
+    # host semantics: flip pixels, flip center, warp
+    c_f = c.copy()
+    c_f[0] = img.shape[1] - c[0] - 1
+    ti_f = get_affine_transform(c_f, s, 0, [64, 64], inv=1)
+    want = np.asarray(warp_affine_jax(
+        jnp.asarray(img[:, ::-1, :].copy()), jnp.asarray(ti_f), 64, 64))
+    # cache semantics: same matrix composed with x -> (w-1) - x
+    got = np.asarray(warp_affine_jax(
+        jnp.asarray(img), jnp.asarray(flip_compose(ti_f, img.shape[1])),
+        64, 64))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_train_step_parity(voc_root):
+    """One optimizer step via cache path == host path (same batch/seed)."""
+    import jax.numpy as jnp
+    from codenet_tpu.data.loader import DataLoader
+    from codenet_tpu.engine.trainer import Trainer
+
+    host_ds, cache_ds, cache = _datasets(voc_root, "--no_color_aug")
+
+    def one_step(ds, attach):
+        opt = ds.opt
+        trainer = Trainer(opt)
+        trainer.init()
+        if attach:
+            trainer.image_cache = cache.to_device(trainer.mesh)
+        loader = DataLoader(ds, 2, shuffle=False, num_workers=1, seed=0)
+        stats = trainer.run_epoch("train", 1, loader, num_iters=1)
+        return stats, trainer.variables
+
+    s_host, v_host = one_step(host_ds, False)
+    s_cache, v_cache = one_step(cache_ds, True)
+    # loss parity: identical geometry/targets, <=1 LSB pixel difference
+    assert abs(s_host["loss"] - s_cache["loss"]) < 0.05 * (
+        abs(s_host["loss"]) + 1e-6)
+    # params moved the same way (Adam normalizes grads; compare a leaf)
+    import jax
+    leaves_h = jax.tree_util.tree_leaves(v_host["params"])
+    leaves_c = jax.tree_util.tree_leaves(v_cache["params"])
+    deltas = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+              for a, b in zip(leaves_h, leaves_c)]
+    assert max(deltas) < 0.02  # lr=1.25e-4-scale steps; same direction
+
+
+def test_cli_device_cache_end_to_end(voc_root, tmp_path):
+    """main.py --device_cache trains; test.py scores the checkpoint."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    common = ["ctdet", "--dataset", "pascal", "--arch", "shufflenetv2",
+              "--input_res", "64", "--data_dir",
+              voc_root.replace("/voc", ""), "--exp_id", "devcache_cli",
+              "--num_workers", "1", "--seed", "0"]
+    r = subprocess.run(
+        [sys.executable, "main.py", *common, "--device_cache",
+         "--batch_size", "2", "--num_epochs", "1", "--num_iters", "2",
+         "--val_intervals", "-1"],
+        cwd=REPO, env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "device_cache:" in r.stdout
+    r = subprocess.run([sys.executable, "test.py", *common, "--resume"],
+                       cwd=REPO, env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    results = os.path.join(REPO, "exp", "ctdet", "devcache_cli",
+                           "results.json")
+    assert os.path.exists(results)
+    with open(results) as f:
+        json.load(f)
+
+
+def test_mesh_replicated_cache(voc_root):
+    """8-device data mesh: sharded img_idx batch + replicated cache."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from codenet_tpu.data.loader import DataLoader
+    from codenet_tpu.engine.trainer import Trainer
+    _, cache_ds, cache = _datasets(voc_root)
+    opt = cache_ds.opt
+    opt.batch_size = 8
+    trainer = Trainer(opt)
+    trainer.init()
+    assert trainer.mesh.shape.get("data", 1) == 8
+    trainer.image_cache = cache.to_device(trainer.mesh)
+    # 4 images -> repeat the dataset indices to fill a batch of 8
+    loader = DataLoader(cache_ds, 4, shuffle=False, num_workers=1, seed=0)
+    batch = next(iter(loader))
+    batch = {k: np.concatenate([v, v], axis=0) for k, v in batch.items()
+             if k != "meta"}
+    loader8 = [batch]
+    stats = trainer.run_epoch("train", 1, iter(loader8), num_iters=1)
+    assert np.isfinite(stats["loss"])

@@ -60,6 +60,15 @@ def build_commands(cfg_name, opts):
         extra += ["--num_workers", str(opts.num_workers)]
     if getattr(opts, "lr", None):
         extra += ["--lr", str(opts.lr)]
+    if getattr(opts, "device_cache", False):
+        # HBM-resident raw images (data/device_cache.py): behind a thin
+        # host link this is the difference between tunnel-bound (~10 s/
+        # step) and compute-bound (~20 ms/step) training
+        extra += ["--device_cache"]
+    if getattr(opts, "save_intervals", None):
+        extra += ["--save_intervals", str(opts.save_intervals)]
+    if getattr(opts, "val_intervals", None):
+        extra += ["--val_intervals", str(opts.val_intervals)]
 
     py = [sys.executable]
     train = py + ["main.py", "ctdet", *flags, *extra,
@@ -103,6 +112,14 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=None,
                     help="override the reference 1.25e-4 (e.g. scaled for "
                          "a larger batch, or higher for synthetic runs)")
+    ap.add_argument("--device_cache", action="store_true",
+                    help="train stages keep the raw train images in HBM "
+                         "(see --device_cache in config.py)")
+    ap.add_argument("--save_intervals", type=int, default=None,
+                    help="checkpoint every N epochs (device->host param "
+                         "pulls are expensive through the tunnel)")
+    ap.add_argument("--val_intervals", type=int, default=None,
+                    help="validate every N epochs (-1 = never)")
     ap.add_argument("--dry_run", action="store_true",
                     help="print the command lines and exit")
     ap.add_argument("--smoke", action="store_true",

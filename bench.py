@@ -168,7 +168,7 @@ def bench_infer_multipose(input_res=256, batch=128, iters=60, warm=20):
 
 
 def bench_e2e(n_images=256, batch=64, input_res=256, device_warp=True,
-              img_w=500, img_h=375):
+              img_w=500, img_h=375, device_cache=False):
     """End-to-end (host-inclusive) eval throughput: disk read + (host or
     device) warp + transfer + fused net/decode, via the real --batch_eval
     driver on a synthetic VOC-sized dataset (VERDICT r2 weak-#8: the
@@ -190,7 +190,8 @@ def bench_e2e(n_images=256, batch=64, input_res=256, device_warp=True,
     args = (f"ctdet --dataset pascal --arch shufflenetv2 "
             f"--input_res {input_res} --batch_eval {batch} "
             f"--num_workers 8 --exp_id bench_e2e"
-            + (" --device_warp" if device_warp else "")).split()
+            + (" --device_warp" if device_warp else "")
+            + (" --device_cache" if device_cache else "")).split()
     opt = cfg.parse(args)
     opt.data_dir = root
     # pass 1 pays the one-time jit; pass 2 is the steady state a real
@@ -301,6 +302,10 @@ def main():
                                                    batch=128),
         "ctdet_e2e_devwarp_256": lambda: bench_e2e(device_warp=True),
         "ctdet_e2e_hostwarp_256": lambda: bench_e2e(device_warp=False),
+        # HBM-resident eval cache: only indices + affines cross the host
+        # link in the steady-state pass — the product answer to the thin
+        # tunnel (and to slow storage in general)
+        "ctdet_e2e_devcache_256": lambda: bench_e2e(device_cache=True),
     }
     for name, fn in entries.items():
         if only and only not in name:

@@ -173,14 +173,33 @@ def batched_test(opt):
     detector = detector_factory(opt.task)(opt)
     bs = opt.batch_eval
 
+    # --device_cache (VERDICT r3 weak-#3): the eval split's raw frames
+    # live in HBM (one bulk upload); per batch only row indices + affines
+    # (~56 B/image) cross the host link, so the steady-state pass is
+    # compute-bound. The warp runs on device (same program as
+    # --device_warp, fed by a gather instead of a transfer).
+    import time as _time
+    cache_dev = cache_geo = None
+    if getattr(opt, "device_cache", False):
+        from ..data.device_cache import ImageCache
+        t0 = _time.time()
+        eval_cache = ImageCache.build(dataset)
+        cache_dev = eval_cache.to_device()
+        cache_geo = [detector.pre_process_geometry(int(h), int(w))
+                     for h, w in eval_cache.dims]
+        print("device_cache: {} images, {:.1f} MB -> HBM in {:.1f}s".format(
+            len(dataset), eval_cache.nbytes / 1e6, _time.time() - t0))
+
     # per-stage attribution (VERDICT r3 #7): thread-summed disk/warp cost,
     # main-thread stall waiting on loads, device dispatch, host bucketing
-    import time as _time
     stage = {"disk": 0.0, "warp": 0.0, "stall": 0.0, "dispatch": 0.0,
              "post": 0.0}
 
     def load_one(ind):
         img_id = dataset.images[ind]
+        if cache_dev is not None:
+            # pixels never leave HBM; ship only (row index, affines)
+            return ("cached", img_id, ind) + cache_geo[ind]
         img_info = dataset.coco.loadImgs(ids=[img_id])[0]
         img_path = os.path.join(dataset.img_dir, img_info["file_name"])
         t0 = _time.time()
@@ -222,7 +241,7 @@ def batched_test(opt):
                 yield item
 
         loaded = loaded_iter()
-        chunks = {"host": [], "raw": []}
+        chunks = {"host": [], "raw": [], "cached": []}
         done = 0
 
         # one-deep pipeline: hand a batch to the device and convert the
@@ -270,7 +289,19 @@ def batched_test(opt):
                 (ids, detector.process_batch_raw(raw, wtis, tis)))
             drain()
 
-        runners = {"host": run_chunk_host, "raw": run_chunk_raw}
+        def run_chunk_cached(chunk):
+            ids = [c[1] for c in chunk]
+            padded = chunk + [chunk[-1]] * (bs - len(chunk))
+            idx = np.asarray([c[2] for c in padded], np.int32)
+            wtis = np.stack([c[3] for c in padded], axis=0)
+            tis = np.stack([c[4] for c in padded], axis=0)
+            inflight.append(
+                (ids,
+                 detector.process_batch_cached(cache_dev, idx, wtis, tis)))
+            drain()
+
+        runners = {"host": run_chunk_host, "raw": run_chunk_raw,
+                   "cached": run_chunk_cached}
 
         import time as _time
         # _bench_passes > 1 (bench.py hook): repeat the full load+eval
@@ -281,7 +312,7 @@ def batched_test(opt):
         for pass_i in range(passes):
             if pass_i:
                 loaded = loaded_iter()
-                chunks = {"host": [], "raw": []}
+                chunks = {"host": [], "raw": [], "cached": []}
                 done = 0
             t0 = _time.time()
             for item in loaded:

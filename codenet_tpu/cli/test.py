@@ -194,6 +194,14 @@ def batched_test(opt):
     # main-thread stall waiting on loads, device dispatch, host bucketing
     stage = {"disk": 0.0, "warp": 0.0, "stall": 0.0, "dispatch": 0.0,
              "post": 0.0}
+    # load_one runs on num_workers threads; += on a shared dict is a
+    # read-modify-write that loses increments without a lock
+    import threading
+    stage_lock = threading.Lock()
+
+    def _stage_add(key, dt):
+        with stage_lock:
+            stage[key] += dt
 
     def load_one(ind):
         img_id = dataset.images[ind]
@@ -205,14 +213,14 @@ def batched_test(opt):
         t0 = _time.time()
         image = cv2.imread(img_path)
         t1 = _time.time()
-        stage["disk"] += t1 - t0
+        _stage_add("disk", t1 - t0)
         if device_warp:
             pr = detector.pre_process_raw(image)
             if pr is not None:  # fits the static raw buffer
-                stage["warp"] += _time.time() - t1
+                _stage_add("warp", _time.time() - t1)
                 return ("raw", img_id) + pr
         images, meta = detector.pre_process(image, 1.0)
-        stage["warp"] += _time.time() - t1
+        _stage_add("warp", _time.time() - t1)
         return ("host", img_id, images, meta)
 
     results = {}
@@ -303,7 +311,6 @@ def batched_test(opt):
         runners = {"host": run_chunk_host, "raw": run_chunk_raw,
                    "cached": run_chunk_cached}
 
-        import time as _time
         # _bench_passes > 1 (bench.py hook): repeat the full load+eval
         # sweep; pass 1 carries the one-time jit, later passes measure
         # the steady state a long eval (COCO-scale) actually runs at.

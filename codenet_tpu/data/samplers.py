@@ -88,8 +88,11 @@ class CTDetSampler:
         return img_id, img, anns
 
     def load_raw_image(self, index):
-        """Raw (unwarped) pixels for the HBM cache (device_cache.py)."""
-        return self._load_image_anns(index)[1]
+        """Raw (unwarped) pixels for the HBM cache (device_cache.py) —
+        image only, no annotation fetch."""
+        img_id = self.images[index]
+        file_name = self.coco.loadImgs(ids=[img_id])[0]["file_name"]
+        return cv2.imread(os.path.join(self.img_dir, file_name))
 
     def get_sample(self, index, rng=None):
         explicit_rng = rng

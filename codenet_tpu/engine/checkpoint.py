@@ -87,20 +87,31 @@ def _load_torch_payload(path, variables):
         heads = tuple(k[5:] for k in variables.get("params", {})
                       if k.startswith("head_")) or ("hm", "wh", "reg")
         converted = convert_pretrained_backbone(sd, heads=heads)
-    elif "base.base_layer.0.weight" in sd_stripped:  # dlav0 DLASeg
+    elif "base.base_layer.0.weight" in sd_stripped:  # DLASeg stem
+        if any(".conv_offset_mask." in k for k in sd_stripped):
+            # pose_dla_dcn.py DLASeg: DCN-based IDAUp — no converter yet;
+            # silently routing through convert_dlav0 would drop every
+            # dla_up/ida_up weight, so fail loudly instead
+            raise NotImplementedError(
+                "dla_dcn (pose_dla_dcn.py) torch checkpoints are not "
+                "convertible yet; use convert_dlav0-compatible DLASeg or "
+                "a native .ckpt")
         converted = convert_dlav0(sd, heads=_heads({"base", "dla_up"}))
     elif "pre.0.conv.weight" in sd_stripped:  # large hourglass exkp
         converted = convert_hourglass(
             sd, heads=_heads({"pre", "kps", "cnvs", "inters", "inters_",
                               "cnvs_"}))
     elif "deconv_layers.0.weight" in sd_stripped \
-            and "conv1.weight" in sd_stripped:  # msra PoseResNet
+            and "conv1.weight" in sd_stripped:  # PoseResNet (msra or DCN)
         hc = any(k.endswith(".2.weight") and not k.startswith(
             ("layer", "deconv")) for k in sd_stripped)
         converted = convert_resnet(
             sd, heads=_heads({"conv1", "bn1", "layer1", "layer2", "layer3",
                               "layer4", "deconv_layers"}),
-            head_conv=64 if hc else 0)
+            head_conv=64 if hc else 0,
+            # resnet_dcn.py deconv stages carry a DCN with a
+            # conv_offset_mask submodule; msra_resnet's are plain
+            dcn="deconv_layers.0.conv_offset_mask.weight" in sd_stripped)
     else:
         heads = tuple(k[5:] for k in variables.get("params", {})
                       if k.startswith("head_")) or ("hm", "wh", "reg")

@@ -208,11 +208,17 @@ def _conv(params, path, sd, key, bias_key=None):
         _set(params, path, "bias", np.asarray(sd[bias_key], np.float32))
 
 
-def convert_resnet(sd, heads=("hm", "wh", "reg"), head_conv=64):
+def convert_resnet(sd, heads=("hm", "wh", "reg"), head_conv=64, dcn=False):
     """Reference PoseResNet state_dict (msra_resnet.py:108-281) -> our
     models.resnet.PoseResNet variables. Handles BasicBlock and Bottleneck
     stages, the 3 bias-free ConvTranspose deconvs (deconv_layers.{0,3,6}),
-    and the sorted-head Sequentials ({head}.0/.2 when head_conv>0)."""
+    and the sorted-head Sequentials ({head}.0/.2 when head_conv>0).
+
+    dcn=True reads the resnet_dcn.py:213-245 deconv layout instead — each
+    stage is 6 modules [DCN, BN, ReLU, ConvTranspose, BN, ReLU], so the
+    DCN sits at deconv_layers.{6i} (with its conv_offset_mask submodule)
+    and the ConvTranspose at deconv_layers.{6i+3} — mapped onto
+    models.resnet.PoseResNetDCN (deconv{i}_dcn / bn1 / up / bn2)."""
     sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
     params, stats = {}, {}
     dst = (params, stats)
@@ -237,6 +243,21 @@ def convert_resnet(sd, heads=("hm", "wh", "reg"), head_conv=64):
                 _bn(dst, path + ["down_bn"], sd, f"{base}.downsample.1")
             b += 1
     for i in range(3):
+        if dcn:
+            base = f"deconv_layers.{6 * i}"
+            _set(params, [f"deconv{i}_dcn"], "weight",
+                 conv_w(sd[f"{base}.weight"]))
+            if f"{base}.bias" in sd:
+                _set(params, [f"deconv{i}_dcn"], "bias",
+                     np.asarray(sd[f"{base}.bias"], np.float32))
+            _conv(params, [f"deconv{i}_dcn", "conv_offset_mask"], sd,
+                  f"{base}.conv_offset_mask.weight",
+                  f"{base}.conv_offset_mask.bias")
+            _bn(dst, [f"deconv{i}_bn1"], sd, f"deconv_layers.{6 * i + 1}")
+            params[f"deconv{i}_up"] = deconv_w(
+                sd[f"deconv_layers.{6 * i + 3}.weight"])
+            _bn(dst, [f"deconv{i}_bn2"], sd, f"deconv_layers.{6 * i + 4}")
+            continue
         params[f"deconv{i}_kernel"] = deconv_w(
             sd[f"deconv_layers.{3 * i}.weight"])
         _bn(dst, [f"deconv{i}_bn"], sd, f"deconv_layers.{3 * i + 1}")

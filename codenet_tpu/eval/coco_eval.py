@@ -170,10 +170,10 @@ class CocoDetEval:
             self._iou_cache = {}
         key = (img_id, cat_id)
         if key not in self._iou_cache:
-            base_gts = self._gts(img_id, cat_id)
-            base_dts = [self._dts(img_id, cat_id)[i] for i in dt_order]
-            if len(base_dts) > max_det:
-                base_dts = base_dts[:max_det]
+            base_gts = self._gts(img_id, cat_id)  # unsorted GT order
+            base_dts = dts  # score-sorted, max_det-truncated (line 163);
+            # max_det is max(self.max_dets) on every evaluate() call, so
+            # the cached table rows always cover the current slice
             if len(base_dts) and len(base_gts):
                 if self.iou_type == "keypoints":
                     tab = oks_iou([d["keypoints"] for d in base_dts],

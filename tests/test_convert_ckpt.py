@@ -191,3 +191,112 @@ def test_pytorchcv_full_rename_coverage():
         {k: np.zeros(1, np.float32) for k in names})
     for src, want in names.items():
         assert want in out, (src, want, sorted(out))
+
+
+def _synth_resdcn18_state_dict(heads=None, head_conv=64):
+    """Torch-layout state_dict matching resnet_dcn.py:108-245 for
+    num_layers=18: BasicBlock stages + 3 DCN deconv stages of 6 modules
+    [DCN, BN, ReLU, ConvTranspose, BN, ReLU]."""
+    heads = heads or {"hm": 4, "wh": 2, "reg": 2}
+    rng = np.random.RandomState(3)
+    sd = {}
+
+    def w(*s):
+        return rng.randn(*s).astype(np.float32)
+
+    def bn(prefix, c):
+        sd[prefix + ".weight"] = w(c)
+        sd[prefix + ".bias"] = w(c)
+        sd[prefix + ".running_mean"] = w(c)
+        sd[prefix + ".running_var"] = np.abs(w(c)) + 0.5
+
+    sd["conv1.weight"] = w(64, 3, 7, 7)
+    bn("bn1", 64)
+    inp = 64
+    for s, planes in enumerate([64, 128, 256, 512], 1):
+        for b in range(2):
+            base = f"layer{s}.{b}"
+            cin = inp if b == 0 else planes
+            sd[f"{base}.conv1.weight"] = w(planes, cin, 3, 3)
+            bn(f"{base}.bn1", planes)
+            sd[f"{base}.conv2.weight"] = w(planes, planes, 3, 3)
+            bn(f"{base}.bn2", planes)
+            if b == 0 and s != 1:
+                sd[f"{base}.downsample.0.weight"] = w(planes, cin, 1, 1)
+                bn(f"{base}.downsample.1", planes)
+        inp = planes
+    for i, planes in enumerate([256, 128, 64]):
+        base = f"deconv_layers.{6 * i}"
+        sd[base + ".weight"] = w(planes, inp, 3, 3)
+        sd[base + ".bias"] = w(planes)
+        sd[base + ".conv_offset_mask.weight"] = w(27, inp, 3, 3)
+        sd[base + ".conv_offset_mask.bias"] = w(27)
+        bn(f"deconv_layers.{6 * i + 1}", planes)
+        sd[f"deconv_layers.{6 * i + 3}.weight"] = w(planes, planes, 4, 4)
+        bn(f"deconv_layers.{6 * i + 4}", planes)
+        inp = planes
+    for h, c in heads.items():
+        sd[f"{h}.0.weight"] = w(head_conv, 64, 3, 3)
+        sd[f"{h}.0.bias"] = w(head_conv)
+        sd[f"{h}.2.weight"] = w(c, head_conv, 1, 1)
+        sd[f"{h}.2.bias"] = w(c)
+    return sd
+
+
+def test_resdcn18_pth_dispatch_and_full_coverage(tmp_path):
+    """A resnet_dcn .pth (DCN deconv stages, 6-module layout) must route
+    through convert_resnet(dcn=True) and cover EVERY PoseResNetDCN leaf —
+    the structural-dispatch bug this pins had the DCN variant silently
+    falling into the msra layout (deconv_layers.{0,3,6} = ConvTranspose),
+    which skips the deconv weights and drops the offset branches."""
+    import os
+    import torch
+    from codenet_tpu.models.resnet import get_pose_net_dcn
+    from codenet_tpu.engine import checkpoint
+
+    heads = {"hm": 4, "wh": 2, "reg": 2}
+    sd = _synth_resdcn18_state_dict(heads)
+    p = os.path.join(str(tmp_path), "resdcn18.pth")
+    torch.save({"state_dict": {k: torch.from_numpy(v)
+                               for k, v in sd.items()}, "epoch": 3}, p)
+
+    model = get_pose_net_dcn(18, heads, 64)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    init_vars = dict(model.init(jax.random.PRNGKey(0), x))
+    # strict: raises on ANY missing/mismatched/dropped leaf
+    loaded, epoch, _ = checkpoint.load_model(p, init_vars, strict=True)
+    assert epoch == 3
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["deconv0_dcn"]["weight"]),
+        np.transpose(sd["deconv_layers.0.weight"], (2, 3, 1, 0)))
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["deconv0_dcn"]["conv_offset_mask"]
+                   ["kernel"]),
+        np.transpose(sd["deconv_layers.0.conv_offset_mask.weight"],
+                     (2, 3, 1, 0)))
+    np.testing.assert_allclose(
+        np.asarray(loaded["params"]["deconv1_up"]),
+        np.transpose(sd["deconv_layers.9.weight"], (2, 3, 0, 1)))
+    np.testing.assert_allclose(
+        np.asarray(loaded["batch_stats"]["deconv2_bn2"]["mean"]),
+        sd["deconv_layers.16.running_mean"])
+    out = model.apply(loaded, x)
+    assert out["hm"].shape == (1, 16, 16, 4)
+
+
+def test_dla_dcn_pth_fails_loudly(tmp_path):
+    """pose_dla_dcn checkpoints (DLASeg stem + conv_offset_mask keys) have
+    no converter; they must NOT silently misroute through convert_dlav0."""
+    import os
+    import torch
+    import pytest as _pytest
+    from codenet_tpu.engine import checkpoint
+
+    sd = {"base.base_layer.0.weight": np.zeros((16, 3, 7, 7), np.float32),
+          "dla_up.ida_0.proj_1.conv.conv_offset_mask.weight":
+              np.zeros((27, 16, 3, 3), np.float32)}
+    p = os.path.join(str(tmp_path), "dla_dcn.pth")
+    torch.save({"state_dict": {k: torch.from_numpy(v)
+                               for k, v in sd.items()}}, p)
+    with _pytest.raises(NotImplementedError):
+        checkpoint.load_model(p, {"params": {}})

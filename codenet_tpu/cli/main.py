@@ -53,15 +53,28 @@ def run_training(opt, qspec=None, load_fp32_then_quantize=False):
     if getattr(opt, "device_cache", False):
         # HBM-resident raw images: one bulk upload, then steps ship only
         # indices + warp matrices (data/device_cache.py)
+        if opt.task != "ctdet" or not hasattr(train_dataset,
+                                              "load_raw_image"):
+            raise SystemExit(
+                "--device_cache is only implemented for the ctdet task "
+                "(the {} sampler has no cached-feed path); drop the flag"
+                .format(opt.task))
         from ..data.device_cache import ImageCache
         cache = ImageCache.build(train_dataset)
-        print("device_cache: {} images, {:.1f} MB -> HBM".format(
-            len(train_dataset), cache.nbytes / 1e6))
+        shard = getattr(opt, "device_cache_shard", False)
+        print("device_cache: {} images, {:.1f} MB -> HBM{}".format(
+            len(train_dataset), cache.nbytes / 1e6,
+            " (sharded over {} devices)".format(
+                trainer.mesh.shape.get("data", 1)) if shard else ""))
         train_dataset._image_cache_dims = cache.dims
-        trainer.image_cache = cache.to_device(trainer.mesh)
+        trainer.image_cache = cache.to_device(trainer.mesh, shard=shard)
+        shard_ranges = cache.shard_ranges if shard else None
+        del cache  # to_device dropped the host stack; free the wrapper too
+    else:
+        shard_ranges = None
     train_loader = DataLoader(train_dataset, opt.batch_size,
                               shuffle=True, num_workers=opt.num_workers,
-                              seed=opt.seed)
+                              seed=opt.seed, shard_ranges=shard_ranges)
 
     best = 1e10
     save_dir = opt.save_dir

@@ -153,6 +153,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "warp/augment on device (random aug stream is "
                         "unchanged; interpolation moves from cv2 "
                         "fixed-point to f32)")
+    p.add_argument("--device_cache_shard", action="store_true",
+                   help="partition the HBM image cache's rows over the "
+                        "data mesh axis instead of replicating (cache "
+                        "scales with the pod: each chip holds N/D rows; "
+                        "the loader routes each batch slot-block to the "
+                        "shard that owns it). Implies --device_cache.")
     # TPU extension: ship uint8 inputs and run color-aug + normalization
     # inside the jitted step (4x less host->device traffic). Set
     # --host_normalize for the reference's host-side numpy path.
@@ -257,6 +263,8 @@ def parse(args=None, root_dir=None):
     opt.lr_step = [int(i) for i in str(opt.lr_step).split(",")]
     opt.test_scales = [float(i) for i in str(opt.test_scales).split(",")]
 
+    if opt.device_cache_shard:
+        opt.device_cache = True
     opt.fix_res = not opt.keep_res
     opt.reg_offset = not opt.not_reg_offset
     opt.reg_bbox = not opt.not_reg_bbox

@@ -108,16 +108,34 @@ def color_norm_f01(inp_f01, perm, alphas, light_add, mean, std):
     return jax.vmap(one)(inp_f01, perm, alphas, light_add)
 
 
-def model_input(batch, mean, std, out_hw=None):
+def model_input(batch, mean, std, out_hw=None, cache_mesh=None):
     """Resolve the model input from a batch: HBM-cache path (img_idx +
     warp_ti against the device-resident raw-image stack — see
     data/device_cache.py), device path (input_u8 + aug state), or the
     legacy host-normalized f32 'input'. out_hw = static (input_h,
-    input_w) for the cache warp."""
+    input_w) for the cache warp.
+
+    cache_mesh: when the cache is row-SHARDED over the mesh's 'data' axis
+    (ImageCache.to_device(mesh, shard=True)), the gather must stay local
+    to each shard — a plain global gather would make GSPMD all-gather the
+    whole stack. shard_map keeps it a local row lookup; the loader's
+    shard_ranges routing guarantees idx // rows_per_shard == shard id, so
+    idx % rows_per_shard is the local row."""
     if "img_idx" in batch:
         from .affine import warp_affine_jax
         cache = batch["cache_images"]           # (N, Hc, Wc, 3) uint8
-        imgs = cache[batch["img_idx"]]          # (B, Hc, Wc, 3)
+        if cache_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            def _gather_local(cache_l, idx_l):
+                return cache_l[idx_l % cache_l.shape[0]]
+
+            imgs = jax.shard_map(
+                _gather_local, mesh=cache_mesh,
+                in_specs=(P("data"), P("data")), out_specs=P("data"),
+                check_vma=False)(cache, batch["img_idx"])
+        else:
+            imgs = cache[batch["img_idx"]]      # (B, Hc, Wc, 3)
         oh, ow = out_hw
 
         def warp_one(img_u8, ti):

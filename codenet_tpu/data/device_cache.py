@@ -45,23 +45,45 @@ def flip_compose(trans_inv, width):
     return out
 
 
+WARN_GB = 8.0  # padded-stack size past which HBM fit is doubtful (v5e: 16G)
+
+
 class ImageCache:
     """Padded uint8 stack of every image in a dataset split."""
 
     def __init__(self, images_u8, dims):
         self.images = images_u8          # (N, Hmax, Wmax, 3) uint8
         self.dims = dims                 # (N, 2) int32 (h, w)
-
-    @property
-    def nbytes(self):
-        return self.images.nbytes
+        self.nbytes = images_u8.nbytes   # survives the to_device() drop
 
     @classmethod
     def build(cls, dataset):
         """Read every image of `dataset` once (its sampler's own loader,
-        so file layout/BGR order match the host path exactly)."""
+        so file layout/BGR order match the host path exactly).
+
+        The stack is allocated up front from the annotation metadata's
+        (height, width) records when available, so the build holds ONE
+        decoded image at a time — not the whole split twice (decoded list
+        + padded stack). Falls back to a two-pass read when metadata dims
+        are missing."""
         n = len(dataset)
         dims = np.zeros((n, 2), np.int32)
+        meta = _metadata_dims(dataset)
+        if meta is not None:
+            hmax, wmax = int(meta[:, 0].max()), int(meta[:, 1].max())
+            _warn_if_large(n, hmax, wmax)
+            stack = np.zeros((n, hmax, wmax, 3), np.uint8)
+            for i in range(n):
+                img = dataset.load_raw_image(i)
+                h, w = img.shape[0], img.shape[1]
+                if (h, w) != (int(meta[i, 0]), int(meta[i, 1])):
+                    raise ValueError(
+                        "device_cache: image {} is {}x{} on disk but the "
+                        "annotations say {}x{}".format(
+                            i, h, w, int(meta[i, 0]), int(meta[i, 1])))
+                dims[i] = h, w
+                stack[i, :h, :w] = img
+            return cls(stack, dims)
         raws = []
         for i in range(n):
             img = dataset.load_raw_image(i)
@@ -69,17 +91,73 @@ class ImageCache:
             raws.append(img)
         hmax = int(dims[:, 0].max())
         wmax = int(dims[:, 1].max())
+        _warn_if_large(n, hmax, wmax)
         stack = np.zeros((n, hmax, wmax, 3), np.uint8)
-        for i, img in enumerate(raws):
-            stack[i, :img.shape[0], :img.shape[1]] = img
+        for i in range(n):
+            stack[i, :raws[i].shape[0], :raws[i].shape[1]] = raws[i]
+            raws[i] = None  # free as we go; peak ~1x instead of 2x
         return cls(stack, dims)
 
-    def to_device(self, mesh=None):
-        """Place the stack on device, replicated over `mesh` if given.
-        Returns the device array (host copy is then droppable)."""
+    def to_device(self, mesh=None, shard=False):
+        """Place the stack on device. Returns the device array; the host
+        copy is DROPPED (self.images becomes None — `nbytes`/`dims` stay
+        valid).
+
+        shard=False: replicated over `mesh` (every chip holds all rows —
+        simple, but caps the cache at one chip's HBM).
+        shard=True: rows partitioned over the mesh's 'data' axis (chip d
+        holds rows [d*rps, (d+1)*rps) of the row-padded stack), so the
+        aggregate cache scales with the pod instead of replicating. The
+        row gather then runs under shard_map (device_aug.model_input
+        cache_mesh=...), and the LOADER must route batch slot-block s to
+        shard s's rows — `self.shard_ranges` (set here) is the per-shard
+        (lo, hi) real-row contract for DataLoader(shard_ranges=...)."""
         import jax
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            return jax.device_put(self.images,
-                                  NamedSharding(mesh, PartitionSpec()))
-        return jax.device_put(self.images)
+        from jax.sharding import NamedSharding, PartitionSpec
+        if shard:
+            if mesh is None:
+                raise ValueError("shard=True needs a mesh")
+            d = mesh.shape.get("data", 1)
+            n = self.images.shape[0]
+            rps = -(-n // d)  # ceil: rows per shard
+            pad = rps * d - n
+            if pad:
+                self.images = np.concatenate(
+                    [self.images,
+                     np.zeros((pad,) + self.images.shape[1:], np.uint8)],
+                    axis=0)
+            self.shard_rows = rps
+            self.shard_ranges = [(s * rps, min((s + 1) * rps, n))
+                                 for s in range(d)]
+            out = jax.device_put(
+                self.images, NamedSharding(mesh, PartitionSpec("data")))
+        elif mesh is not None:
+            out = jax.device_put(self.images,
+                                 NamedSharding(mesh, PartitionSpec()))
+        else:
+            out = jax.device_put(self.images)
+        self.images = None
+        return out
+
+
+def _metadata_dims(dataset):
+    """(N, 2) (h, w) from the dataset's annotation records, or None."""
+    coco = getattr(dataset, "coco", None)
+    images = getattr(dataset, "images", None)
+    if coco is None or images is None:
+        return None
+    try:
+        infos = [coco.loadImgs(ids=[img_id])[0] for img_id in images]
+        return np.asarray([[int(i["height"]), int(i["width"])]
+                           for i in infos], np.int32)
+    except (KeyError, TypeError):
+        return None
+
+
+def _warn_if_large(n, hmax, wmax):
+    gb = n * hmax * wmax * 3 / 1e9
+    if gb > WARN_GB:
+        print("WARNING: device_cache padded stack is {:.1f} GB "
+              "({} x {} x {} x 3 uint8) — likely too large next to model"
+              " + optimizer + activations; consider dropping "
+              "--device_cache".format(gb, n, hmax, wmax))

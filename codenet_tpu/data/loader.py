@@ -38,7 +38,8 @@ def _stack_samples(samples):
 
 class DataLoader:
     def __init__(self, dataset, batch_size, shuffle=False, num_workers=4,
-                 drop_last=None, seed=0, prefetch=3, deterministic=True):
+                 drop_last=None, seed=0, prefetch=3, deterministic=True,
+                 shard_ranges=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -50,23 +51,58 @@ class DataLoader:
         self.prefetch = prefetch
         self.deterministic = deterministic
         self._epoch = 0
+        # Sharded-cache routing (device_cache.py to_device(shard=True)):
+        # shard_ranges = per-mesh-shard (lo, hi) dataset-index ranges.
+        # Batch slot-block s (the rows GSPMD places on mesh device s) is
+        # drawn only from range s, so the device-local row gather never
+        # needs another shard's cache rows. Shuffling stays within each
+        # shard; the per-epoch reshuffle still covers every image.
+        self.shard_ranges = shard_ranges
+        if shard_ranges is not None:
+            if batch_size % len(shard_ranges):
+                raise ValueError(
+                    "batch_size {} not divisible by {} cache shards"
+                    .format(batch_size, len(shard_ranges)))
+            bl = batch_size // len(shard_ranges)
+            if min(hi - lo for lo, hi in shard_ranges) < bl:
+                raise ValueError(
+                    "a cache shard holds fewer images than its per-batch "
+                    "slice ({}); use fewer devices or a smaller batch"
+                    .format(bl))
 
     def __len__(self):
+        if self.shard_ranges is not None:
+            bl = self.batch_size // len(self.shard_ranges)
+            return min(hi - lo for lo, hi in self.shard_ranges) // bl
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self):
-        order = np.arange(len(self.dataset))
+    def _shard_batches(self):
+        """Per-shard orders -> slot-block-routed batches (see __init__)."""
+        orders = [np.arange(lo, hi) for lo, hi in self.shard_ranges]
         if self.shuffle:
-            self.rng.shuffle(order)
-        batches = []
-        for i in range(0, len(order), self.batch_size):
-            idx = order[i:i + self.batch_size]
-            if len(idx) < self.batch_size and self.drop_last:
-                continue
-            batches.append(idx)
+            for o in orders:
+                self.rng.shuffle(o)
+        bl = self.batch_size // len(orders)
+        m = min(len(o) for o in orders) // bl
+        return [np.concatenate([o[k * bl:(k + 1) * bl] for o in orders])
+                for k in range(m)]
+
+    def __iter__(self):
+        if self.shard_ranges is not None:
+            batches = self._shard_batches()
+        else:
+            order = np.arange(len(self.dataset))
+            if self.shuffle:
+                self.rng.shuffle(order)
+            batches = []
+            for i in range(0, len(order), self.batch_size):
+                idx = order[i:i + self.batch_size]
+                if len(idx) < self.batch_size and self.drop_last:
+                    continue
+                batches.append(idx)
 
         n_workers = min(self.num_workers, max(1, len(batches)))
         # Workers take batch numbers from `todo`; the consumer admits at most

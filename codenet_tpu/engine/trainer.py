@@ -49,7 +49,8 @@ class LossOpts:
 
 
 def make_train_step(model, loss_fn, loss_opts, tx, quantized, mean, std,
-                    down_ratio=4, num_classes=None, input_hw=None):
+                    down_ratio=4, num_classes=None, input_hw=None,
+                    cache_mesh=None):
     """Build the jitted train step.
 
     quantized=False: mutate batch_stats (BN running averages).
@@ -69,7 +70,8 @@ def make_train_step(model, loss_fn, loss_opts, tx, quantized, mean, std,
     def train_step(variables, opt_state, batch):
         params = variables["params"]
         aux_vars = {k: v for k, v in variables.items() if k != "params"}
-        inp = model_input(batch, mean, std, out_hw=input_hw)
+        inp = model_input(batch, mean, std, out_hw=input_hw,
+                          cache_mesh=cache_mesh)
         batch = resolve_targets(batch, inp, down_ratio, num_classes)
 
         def compute_loss(p):
@@ -217,7 +219,10 @@ class Trainer:
                                           down_ratio=opt.down_ratio,
                                           num_classes=opt.num_classes,
                                           input_hw=(opt.input_h,
-                                                    opt.input_w))
+                                                    opt.input_w),
+                                          cache_mesh=self.mesh if getattr(
+                                              opt, "device_cache_shard",
+                                              False) else None)
         # HBM-resident raw-image stack (data/device_cache.py); set by the
         # CLI when --device_cache — run_epoch attaches it to cache batches
         self.image_cache = None

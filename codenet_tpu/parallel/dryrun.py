@@ -104,6 +104,49 @@ def run(n_devices: int) -> None:
         print(f"dryrun_multichip({n_devices}): dp x sp loss={loss2:.4f} OK",
               flush=True)
 
+    # Phase 3 — row-SHARDED HBM image cache (--device_cache_shard): the
+    # raw-image stack partitions over the 'data' axis (each device holds
+    # N/D rows), the per-device row gather runs under shard_map, and the
+    # batch's slot-block s carries only shard-s indices (the
+    # DataLoader(shard_ranges=...) routing contract). Validates that the
+    # cache-scaling story compiles and executes multi-chip.
+    from codenet_tpu.data.device_cache import ImageCache
+    from codenet_tpu.data.device_aug import identity_aug_params
+
+    opt3 = cfg.parse(
+        "ctdet --dataset pascal --arch shufflenetv2 --input_res 64 "
+        f"--batch_size {b} --num_epochs 1 --device_cache_shard".split())
+    opt3 = cfg.update_dataset_info_and_set_heads(
+        opt3, cfg.DATASET_SPECS["pascal"])
+    trainer3 = Trainer(opt3, mesh=mesh)
+    trainer3.init()
+
+    images = rng.randint(0, 255, (b, 64, 64, 3)).astype(onp.uint8)
+    cache = ImageCache(images, onp.full((b, 2), 64, onp.int32))
+    cache_dev = cache.to_device(mesh, shard=True)
+    rps = cache.shard_rows
+    perm, alphas, light = identity_aug_params()
+    batch3 = {
+        "img_idx": onp.concatenate(  # slot-block s -> shard s's rows
+            [onp.arange(s * rps, s * rps + b // n_devices)
+             for s in range(n_devices)]).astype(onp.int32),
+        "warp_ti": onp.tile(onp.array([[1, 0, 0], [0, 1, 0]], onp.float32),
+                            (b, 1, 1)),
+        "aug_perm": onp.full((b,), perm, onp.int32),
+        "aug_alphas": onp.tile(onp.asarray(alphas, onp.float32), (b, 1)),
+        "aug_light": onp.tile(onp.asarray(light, onp.float32), (b, 1)),
+        **{k: onp.asarray(jax.device_get(v)) for k, v in batch.items()
+           if k != "input"},
+    }
+    batch3 = shard_batch(mesh, batch3)
+    batch3["cache_images"] = cache_dev
+    _, _, stats3 = trainer3.train_step(
+        trainer3.variables, trainer3.opt_state, batch3)
+    loss3 = float(stats3["loss"])
+    assert onp.isfinite(loss3), loss3
+    print(f"dryrun_multichip({n_devices}): dp + sharded-cache "
+          f"loss={loss3:.4f} OK", flush=True)
+
 
 if __name__ == "__main__":
     run(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

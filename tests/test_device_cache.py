@@ -196,3 +196,127 @@ def test_mesh_replicated_cache(voc_root):
     loader8 = [batch]
     stats = trainer.run_epoch("train", 1, iter(loader8), num_iters=1)
     assert np.isfinite(stats["loss"])
+
+
+def test_build_metadata_single_pass_matches_fallback(voc_root):
+    """build() allocates from annotation (height, width) records and
+    streams one decoded image at a time; the two-pass fallback (no
+    metadata) must produce the identical stack."""
+    from codenet_tpu.data.datasets import get_dataset
+    from codenet_tpu.data.device_cache import ImageCache, _metadata_dims
+
+    Dataset = get_dataset("pascal", "ctdet")
+    ds = Dataset(_opt(voc_root), "train")
+    assert _metadata_dims(ds) is not None  # VOC records carry h/w
+    cache = ImageCache.build(ds)
+
+    class _NoMeta:  # strips the coco handle -> forces the fallback path
+        def __len__(self):
+            return len(ds)
+
+        def load_raw_image(self, i):
+            return ds.load_raw_image(i)
+
+    ref = ImageCache.build(_NoMeta())
+    np.testing.assert_array_equal(cache.images, ref.images)
+    np.testing.assert_array_equal(cache.dims, ref.dims)
+
+
+def test_to_device_drops_host_copy(voc_root):
+    """After upload the multi-GB host stack must not stay referenced for
+    the rest of the run; nbytes/dims stay queryable."""
+    from codenet_tpu.data.datasets import get_dataset
+    from codenet_tpu.data.device_cache import ImageCache
+
+    Dataset = get_dataset("pascal", "ctdet")
+    ds = Dataset(_opt(voc_root), "train")
+    cache = ImageCache.build(ds)
+    nbytes = cache.nbytes
+    dev = cache.to_device()
+    assert cache.images is None
+    assert cache.nbytes == nbytes
+    h, w = int(cache.dims[0, 0]), int(cache.dims[0, 1])
+    np.testing.assert_array_equal(np.asarray(dev[0, :h, :w]),
+                                  ds.load_raw_image(0))
+
+
+def test_loader_shard_routing():
+    """shard_ranges: slot-block s of every batch draws only from range s;
+    no index repeats within an epoch; undersized shards are rejected."""
+    from codenet_tpu.data.loader import DataLoader
+
+    class _DS:
+        def __len__(self):
+            return 28
+
+        def get_sample(self, i, rng=None):
+            return {"idx": np.int32(i)}
+
+    ranges = [(s * 4, (s + 1) * 4) for s in range(7)]  # rps=4
+    loader = DataLoader(_DS(), 14, shuffle=True, num_workers=2, seed=1,
+                        shard_ranges=ranges)
+    assert len(loader) == 2  # min shard 4 // bl 2
+    for _ in range(2):  # reshuffles per epoch
+        seen = []
+        for batch in loader:
+            idx = batch["idx"]
+            for s, (lo, hi) in enumerate(ranges):
+                blk = idx[s * 2:(s + 1) * 2]
+                assert ((blk >= lo) & (blk < hi)).all(), (s, blk)
+            seen.extend(idx.tolist())
+        assert len(set(seen)) == len(seen)
+
+    with pytest.raises(ValueError):  # batch not divisible by shards
+        DataLoader(_DS(), 13, shuffle=True, shard_ranges=ranges)
+    with pytest.raises(ValueError):  # a shard smaller than its slice
+        DataLoader(_DS(), 14, shuffle=True,
+                   shard_ranges=ranges[:-1] + [(24, 25)])
+
+
+@pytest.fixture(scope="module")
+def voc_root16(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data16")
+    make_voc_dataset(str(root), num_images=16)
+    return str(root)
+
+
+def test_sharded_cache_matches_replicated(voc_root16):
+    """8-device mesh: row-sharded cache + shard-routed loader produces the
+    same train step as the replicated cache (the shard_map local gather
+    must return identical pixels)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    from codenet_tpu.data.datasets import get_dataset
+    from codenet_tpu.data.device_cache import ImageCache
+    from codenet_tpu.data.loader import DataLoader
+    from codenet_tpu.engine.trainer import Trainer
+
+    Dataset = get_dataset("pascal", "ctdet")
+    ranges = [(s * 2, (s + 1) * 2) for s in range(8)]  # 16 imgs, rps=2
+
+    def run(shard):
+        extra = "--device_cache_shard" if shard else "--device_cache"
+        ds = Dataset(_opt(voc_root16, extra), "train")
+        ds.opt.batch_size = 8
+        trainer = Trainer(ds.opt)
+        trainer.init()
+        cache = ImageCache.build(ds)
+        ds._image_cache_dims = cache.dims
+        trainer.image_cache = cache.to_device(trainer.mesh, shard=shard)
+        if shard:
+            assert cache.shard_ranges == ranges
+        loader = DataLoader(ds, 8, shuffle=True, num_workers=1, seed=3,
+                            shard_ranges=ranges)
+        stats = trainer.run_epoch("train", 1, loader, num_iters=2)
+        return stats, trainer.variables
+
+    s_rep, v_rep = run(False)
+    s_sh, v_sh = run(True)
+    assert abs(s_rep["loss"] - s_sh["loss"]) < 1e-5 * (
+        abs(s_rep["loss"]) + 1e-6)
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(v_rep["params"]),
+                    jax.tree_util.tree_leaves(v_sh["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)

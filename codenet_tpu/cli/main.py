@@ -69,6 +69,7 @@ def run_training(opt, qspec=None, load_fp32_then_quantize=False):
         train_dataset._image_cache_dims = cache.dims
         trainer.image_cache = cache.to_device(trainer.mesh, shard=shard)
         shard_ranges = cache.shard_ranges if shard else None
+        trainer.cache_shard_rows = cache.shard_rows if shard else None
         del cache  # to_device dropped the host stack; free the wrapper too
     else:
         shard_ranges = None
@@ -133,6 +134,7 @@ def run_training(opt, qspec=None, load_fp32_then_quantize=False):
     # quant_main.py:104-107 forces this; useful for FP32 runs too)
     if opt.task in ("ctdet",) and opt.num_epochs > 0:
         try:
+            trainer.image_cache = None  # free the train cache's HBM first
             from .test import prefetch_test
             eval_opt = opt
             last = ("model_{}.ckpt".format(opt.num_epochs)

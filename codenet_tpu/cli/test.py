@@ -182,6 +182,11 @@ def batched_test(opt):
     cache_dev = cache_geo = None
     if getattr(opt, "device_cache", False):
         from ..data.device_cache import ImageCache
+        if getattr(opt, "device_cache_shard", False):
+            # eval runs single-program over one device group; the eval
+            # cache is always REPLICATED (to_device warns past 8 GB)
+            print("note: --device_cache_shard shards the TRAIN cache "
+                  "only; the eval cache is replicated")
         t0 = _time.time()
         eval_cache = ImageCache.build(dataset)
         cache_dev = eval_cache.to_device()

@@ -65,25 +65,39 @@ class ImageCache:
         (height, width) records when available, so the build holds ONE
         decoded image at a time — not the whole split twice (decoded list
         + padded stack). Falls back to a two-pass read when metadata dims
-        are missing."""
+        are missing, or when a decoded image exceeds the metadata extent
+        (EXIF rotation, stale records). Decoded dims always win."""
         n = len(dataset)
         dims = np.zeros((n, 2), np.int32)
         meta = _metadata_dims(dataset)
         if meta is not None:
             hmax, wmax = int(meta[:, 0].max()), int(meta[:, 1].max())
-            _warn_if_large(n, hmax, wmax)
             stack = np.zeros((n, hmax, wmax, 3), np.uint8)
+            warned = False
             for i in range(n):
                 img = dataset.load_raw_image(i)
                 h, w = img.shape[0], img.shape[1]
-                if (h, w) != (int(meta[i, 0]), int(meta[i, 1])):
-                    raise ValueError(
-                        "device_cache: image {} is {}x{} on disk but the "
-                        "annotations say {}x{}".format(
-                            i, h, w, int(meta[i, 0]), int(meta[i, 1])))
+                if h > hmax or w > wmax:
+                    print("device_cache: image {} decodes {}x{}, past the "
+                          "metadata extent {}x{}; rebuilding via the "
+                          "two-pass path".format(i, h, w, hmax, wmax))
+                    return cls._build_two_pass(dataset)
+                if not warned and (h, w) != (int(meta[i, 0]),
+                                             int(meta[i, 1])):
+                    print("device_cache: image {} is {}x{} on disk but "
+                          "the annotations say {}x{}; using decoded dims"
+                          .format(i, h, w, int(meta[i, 0]),
+                                  int(meta[i, 1])))
+                    warned = True
                 dims[i] = h, w
                 stack[i, :h, :w] = img
             return cls(stack, dims)
+        return cls._build_two_pass(dataset)
+
+    @classmethod
+    def _build_two_pass(cls, dataset):
+        n = len(dataset)
+        dims = np.zeros((n, 2), np.int32)
         raws = []
         for i in range(n):
             img = dataset.load_raw_image(i)
@@ -91,7 +105,6 @@ class ImageCache:
             raws.append(img)
         hmax = int(dims[:, 0].max())
         wmax = int(dims[:, 1].max())
-        _warn_if_large(n, hmax, wmax)
         stack = np.zeros((n, hmax, wmax, 3), np.uint8)
         for i in range(n):
             stack[i, :raws[i].shape[0], :raws[i].shape[1]] = raws[i]
@@ -107,34 +120,57 @@ class ImageCache:
         simple, but caps the cache at one chip's HBM).
         shard=True: rows partitioned over the mesh's 'data' axis (chip d
         holds rows [d*rps, (d+1)*rps) of the row-padded stack), so the
-        aggregate cache scales with the pod instead of replicating. The
-        row gather then runs under shard_map (device_aug.model_input
-        cache_mesh=...), and the LOADER must route batch slot-block s to
-        shard s's rows — `self.shard_ranges` (set here) is the per-shard
-        (lo, hi) real-row contract for DataLoader(shard_ranges=...)."""
+        aggregate cache scales with the pod instead of replicating. Each
+        shard ships straight from a view of the host stack (no padded
+        host copy). The row gather then runs under shard_map
+        (device_aug.model_input cache_mesh=...), and the LOADER must
+        route batch slot-block s to shard s's rows — `self.shard_ranges`
+        (set here) is the per-shard (lo, hi) real-row contract for
+        DataLoader(shard_ranges=...)."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec
+        n, h, w = self.images.shape[:3]
         if shard:
             if mesh is None:
                 raise ValueError("shard=True needs a mesh")
             d = mesh.shape.get("data", 1)
-            n = self.images.shape[0]
+            if n < d:
+                raise ValueError(
+                    "--device_cache_shard: dataset ({} images) is smaller "
+                    "than the data mesh ({} devices)".format(n, d))
             rps = -(-n // d)  # ceil: rows per shard
-            pad = rps * d - n
-            if pad:
-                self.images = np.concatenate(
-                    [self.images,
-                     np.zeros((pad,) + self.images.shape[1:], np.uint8)],
-                    axis=0)
+            _warn_if_large(n, h, w, shards=d)
             self.shard_rows = rps
-            self.shard_ranges = [(s * rps, min((s + 1) * rps, n))
+            self.shard_ranges = [(min(s * rps, n), min((s + 1) * rps, n))
                                  for s in range(d)]
-            out = jax.device_put(
-                self.images, NamedSharding(mesh, PartitionSpec("data")))
+            gshape = (rps * d,) + self.images.shape[1:]
+            sharding = NamedSharding(mesh, PartitionSpec("data"))
+            # per-device placement from host VIEWS — the padded global
+            # stack is never materialized on host (only the tail shard
+            # needs a small zero-padded copy)
+            tail = None
+            devs, shards = [], []
+            for dev, idx in sharding.addressable_devices_indices_map(
+                    gshape).items():
+                lo, hi, _ = idx[0].indices(gshape[0])
+                if hi <= n:
+                    host = self.images[lo:hi]
+                else:
+                    if tail is None:
+                        tail = np.zeros((hi - lo,) + gshape[1:], np.uint8)
+                        if lo < n:
+                            tail[:n - lo] = self.images[lo:n]
+                    host = tail
+                devs.append(dev)
+                shards.append(jax.device_put(host, dev))
+            out = jax.make_array_from_single_device_arrays(
+                gshape, sharding, shards)
         elif mesh is not None:
+            _warn_if_large(n, h, w)
             out = jax.device_put(self.images,
                                  NamedSharding(mesh, PartitionSpec()))
         else:
+            _warn_if_large(n, h, w)
             out = jax.device_put(self.images)
         self.images = None
         return out
@@ -147,17 +183,19 @@ def _metadata_dims(dataset):
     if coco is None or images is None:
         return None
     try:
-        infos = [coco.loadImgs(ids=[img_id])[0] for img_id in images]
+        infos = coco.loadImgs(ids=list(images))
         return np.asarray([[int(i["height"]), int(i["width"])]
                            for i in infos], np.int32)
     except (KeyError, TypeError):
         return None
 
 
-def _warn_if_large(n, hmax, wmax):
-    gb = n * hmax * wmax * 3 / 1e9
+def _warn_if_large(n, hmax, wmax, shards=1):
+    gb = n * hmax * wmax * 3 / 1e9 / shards
     if gb > WARN_GB:
-        print("WARNING: device_cache padded stack is {:.1f} GB "
-              "({} x {} x {} x 3 uint8) — likely too large next to model"
-              " + optimizer + activations; consider dropping "
-              "--device_cache".format(gb, n, hmax, wmax))
+        what = ("per-shard slice" if shards > 1 else "padded stack")
+        print("WARNING: device_cache {} is {:.1f} GB "
+              "({} x {} x {} x 3 uint8 over {} shard(s)) — likely too "
+              "large next to model + optimizer + activations; consider "
+              "dropping --device_cache".format(
+                  what, gb, n, hmax, wmax, shards))

@@ -34,12 +34,13 @@ from ..utils import post_process as PP
 
 
 def make_hook_forward(model, mean, std, down_ratio, num_classes,
-                      input_hw=None):
+                      input_hw=None, cache_mesh=None):
     """Jitted: batch -> (f32 input, dense hm target, last-stack outputs)."""
 
     @jax.jit
     def fwd(variables, batch):
-        inp = model_input(batch, mean, std, out_hw=input_hw)
+        inp = model_input(batch, mean, std, out_hw=input_hw,
+                          cache_mesh=cache_mesh)
         batch2 = resolve_targets(batch, inp, down_ratio, num_classes)
         out = model.apply(variables, inp, train=False)
         out = out[-1] if isinstance(out, (list, tuple)) else out
@@ -51,13 +52,13 @@ def make_hook_forward(model, mean, std, down_ratio, num_classes,
 class TrainHooks:
     """Per-task debug/save_result dispatch bound to one Trainer."""
 
-    def __init__(self, opt, model):
+    def __init__(self, opt, model, cache_mesh=None):
         self.opt = opt
         self.task = opt.task
         self._fwd = make_hook_forward(
             model, np.asarray(opt.mean), np.asarray(opt.std),
             opt.down_ratio, opt.num_classes,
-            input_hw=(opt.input_h, opt.input_w))
+            input_hw=(opt.input_h, opt.input_w), cache_mesh=cache_mesh)
 
     # -- shared helpers ---------------------------------------------------
     def _first_image(self, inp, batch):

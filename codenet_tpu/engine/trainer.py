@@ -107,14 +107,27 @@ def make_train_step(model, loss_fn, loss_opts, tx, quantized, mean, std,
     return train_step
 
 
+def check_shard_routing(img_idx, d, rps):
+    """Loud --device_cache_shard contract check (host-side, cheap): the
+    shard_map gather maps idx % rps locally, so a mis-routed index would
+    silently fetch the WRONG image — catch it before dispatch."""
+    idx = np.asarray(img_idx).reshape(d, -1)
+    if not (idx // rps == np.arange(d)[:, None]).all():
+        raise ValueError(
+            "--device_cache_shard: batch slot-block routing violates "
+            "cache shard ownership; build the DataLoader with "
+            "shard_ranges=cache.shard_ranges")
+
+
 def make_val_step(model, loss_fn, loss_opts, mean, std, down_ratio=4,
-                  num_classes=None, input_hw=None):
+                  num_classes=None, input_hw=None, cache_mesh=None):
     from ..models.fused_heads import apply_fused_heads, can_fuse_heads
     fuse = can_fuse_heads(model, None)
 
     @jax.jit
     def val_step(variables, batch):
-        inp = model_input(batch, mean, std, out_hw=input_hw)
+        inp = model_input(batch, mean, std, out_hw=input_hw,
+                          cache_mesh=cache_mesh)
         batch = resolve_targets(batch, inp, down_ratio, num_classes)
         if fuse:
             # single-stack models read the neck once (fused heads);
@@ -132,7 +145,7 @@ def make_val_step(model, loss_fn, loss_opts, mean, std, down_ratio=4,
     return val_step
 
 
-def make_oracle_val_step(model, loss_fn, loss_opts, opt):
+def make_oracle_val_step(model, loss_fn, loss_opts, opt, cache_mesh=None):
     """Unjitted val step with ground-truth head substitution — the
     --eval_oracle_* upper-bound probes (reference trains/ctdet.py:36-47,
     utils/oracle_utils.py)."""
@@ -140,7 +153,8 @@ def make_oracle_val_step(model, loss_fn, loss_opts, opt):
 
     def val_step(variables, batch):
         inp = model_input(batch, opt.mean, opt.std,
-                          out_hw=(opt.input_h, opt.input_w))
+                          out_hw=(opt.input_h, opt.input_w),
+                          cache_mesh=cache_mesh)
         batch = resolve_targets(batch, inp, opt.down_ratio,
                                 opt.num_classes)
         out = model.apply(variables, inp, train=False)
@@ -209,6 +223,12 @@ class Trainer:
                                   qspec=qspec, dtype=dtype)
         self.loss_fn = LOSS_FACTORY[opt.task]
         self.loss_opts = LossOpts(opt)
+        # --device_cache_shard: every model_input consumer (train/val/
+        # oracle/hooks) must run the row gather as a shard_map local
+        # lookup; a plain gather would all-gather the sharded stack
+        self.cache_mesh = self.mesh if getattr(
+            opt, "device_cache_shard", False) else None
+        self.cache_shard_rows = None  # set by the CLI with the cache
         self.lr = opt.lr
         self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=opt.lr)
         self.train_step = make_train_step(self.model, self.loss_fn,
@@ -220,9 +240,7 @@ class Trainer:
                                           num_classes=opt.num_classes,
                                           input_hw=(opt.input_h,
                                                     opt.input_w),
-                                          cache_mesh=self.mesh if getattr(
-                                              opt, "device_cache_shard",
-                                              False) else None)
+                                          cache_mesh=self.cache_mesh)
         # HBM-resident raw-image stack (data/device_cache.py); set by the
         # CLI when --device_cache — run_epoch attaches it to cache batches
         self.image_cache = None
@@ -233,7 +251,8 @@ class Trainer:
                          "eval_oracle_hp_offset"))
         if oracle_on:
             self.val_step = make_oracle_val_step(self.model, self.loss_fn,
-                                                 self.loss_opts, opt)
+                                                 self.loss_opts, opt,
+                                                 cache_mesh=self.cache_mesh)
         else:
             self.val_step = make_val_step(self.model, self.loss_fn,
                                           self.loss_opts,
@@ -242,7 +261,8 @@ class Trainer:
                                           down_ratio=opt.down_ratio,
                                           num_classes=opt.num_classes,
                                           input_hw=(opt.input_h,
-                                                    opt.input_w))
+                                                    opt.input_w),
+                                          cache_mesh=self.cache_mesh)
         self.variables = None
         self.opt_state = None
         self._hooks = None
@@ -253,7 +273,8 @@ class Trainer:
         only paid for when --debug or --test is on."""
         if self._hooks is None:
             from .train_hooks import TrainHooks
-            self._hooks = TrainHooks(self.opt, self.model)
+            self._hooks = TrainHooks(self.opt, self.model,
+                                     cache_mesh=self.cache_mesh)
         return self._hooks
 
     # -- state ---------------------------------------------------------
@@ -300,6 +321,10 @@ class Trainer:
             bs = batch[("img_idx" if "img_idx" in batch else
                         "input_u8" if "input_u8" in batch
                         else "input")].shape[0]
+            if "img_idx" in batch and self.cache_shard_rows:
+                check_shard_routing(batch["img_idx"],
+                                    self.mesh.shape.get("data", 1),
+                                    self.cache_shard_rows)
             if bs % self.mesh.shape.get("data", 1) == 0:
                 batch = shard_batch(self.mesh, batch)
             else:

@@ -320,3 +320,16 @@ def test_sharded_cache_matches_replicated(voc_root16):
                     jax.tree_util.tree_leaves(v_sh["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_check_shard_routing():
+    """Mis-routed img_idx must fail loudly before dispatch (the shard_map
+    gather's % would otherwise fetch the wrong image silently)."""
+    from codenet_tpu.engine.trainer import check_shard_routing
+
+    good = np.concatenate([np.arange(s * 2, s * 2 + 2) for s in range(4)])
+    check_shard_routing(good, 4, 2)  # no raise
+    bad = good.copy()
+    bad[0], bad[-1] = bad[-1], bad[0]  # swap across shards
+    with pytest.raises(ValueError):
+        check_shard_routing(bad, 4, 2)

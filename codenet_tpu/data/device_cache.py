@@ -155,12 +155,16 @@ class ImageCache:
                 lo, hi, _ = idx[0].indices(gshape[0])
                 if hi <= n:
                     host = self.images[lo:hi]
-                else:
+                elif lo >= n:
+                    # fully-empty shard: share one all-zero buffer (never
+                    # the partial shard's, which carries real image rows)
                     if tail is None:
                         tail = np.zeros((hi - lo,) + gshape[1:], np.uint8)
-                        if lo < n:
-                            tail[:n - lo] = self.images[lo:n]
                     host = tail
+                else:
+                    # the (single) partial shard: fresh zero-padded copy
+                    host = np.zeros((hi - lo,) + gshape[1:], np.uint8)
+                    host[:n - lo] = self.images[lo:n]
                 devs.append(dev)
                 shards.append(jax.device_put(host, dev))
             out = jax.make_array_from_single_device_arrays(

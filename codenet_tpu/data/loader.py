@@ -55,8 +55,12 @@ class DataLoader:
         # shard_ranges = per-mesh-shard (lo, hi) dataset-index ranges.
         # Batch slot-block s (the rows GSPMD places on mesh device s) is
         # drawn only from range s, so the device-local row gather never
-        # needs another shard's cache rows. Shuffling stays within each
-        # shard; the per-epoch reshuffle still covers every image.
+        # needs another shard's cache rows. This is a sampling deviation
+        # from the reference's global shuffle: every batch is a fixed
+        # stratified draw of batch/d images per shard, shuffling happens
+        # WITHIN each contiguous shard, and each epoch truncates to the
+        # smallest shard (larger shards drop proportionally more images,
+        # so full coverage holds only in expectation across epochs).
         self.shard_ranges = shard_ranges
         if shard_ranges is not None:
             if batch_size % len(shard_ranges):

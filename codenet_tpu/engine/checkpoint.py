@@ -78,8 +78,23 @@ def _load_torch_payload(path, variables):
                    for k, v in sd.items()}
 
     def _heads(backbone_prefixes):
-        return tuple(sorted({k.split(".")[0] for k in sd_stripped
-                             if k.split(".")[0] not in backbone_prefixes}))
+        names = sorted({k.split(".")[0] for k in sd_stripped
+                        if k.split(".")[0] not in backbone_prefixes})
+        # every head must look like one (reference heads are either
+        # Sequential conv stacks, '<h>.0.weight', or single convs,
+        # '<h>.weight'); a stray top-level key (e.g. an fc layer left in
+        # a partial backbone ckpt) would otherwise surface later as a raw
+        # KeyError inside the converter
+        bogus = [h for h in names
+                 if f"{h}.0.weight" not in sd_stripped
+                 and f"{h}.weight" not in sd_stripped]
+        if bogus:
+            raise ValueError(
+                "torch checkpoint has top-level keys that are neither "
+                "backbone ({}) nor head-shaped: {} — strip them or pass "
+                "a native .ckpt".format(
+                    ", ".join(sorted(backbone_prefixes)), bogus))
+        return tuple(names)
 
     # dispatch on the state_dict's structural signature (each reference
     # network family has a distinct stem key)

@@ -81,23 +81,23 @@ class CocoDetEval:
                 results = json.load(f)
         # results.json entries carry no "id"/"area" (reference
         # coco.py:90-112 format); assign sequential ids and derive areas
-        # exactly like pycocotools COCO.loadRes — keypoint results get an
-        # area (and bbox) from the keypoint x/y extents, which is what the
-        # area-range det-ignore test in _evaluate_img consumes
+        # exactly like pycocotools COCO.loadRes — which OVERWRITES any
+        # caller-supplied area/bbox unconditionally (keypoint results get
+        # both from the keypoint x/y extents), so a results list that
+        # already carries them scores identically to the reference
         prepared = []
         for i, d in enumerate(results):
             d = dict(d)
-            d.setdefault("id", i + 1)
-            if "area" not in d:
-                if iou_type == "keypoints":
-                    s = d["keypoints"]
-                    x, y = s[0::3], s[1::3]
-                    x0, x1 = float(np.min(x)), float(np.max(x))
-                    y0, y1 = float(np.min(y)), float(np.max(y))
-                    d["area"] = (x1 - x0) * (y1 - y0)
-                    d.setdefault("bbox", [x0, y0, x1 - x0, y1 - y0])
-                else:
-                    d["area"] = d["bbox"][2] * d["bbox"][3]
+            d["id"] = i + 1
+            if iou_type == "keypoints":
+                s = d["keypoints"]
+                x, y = s[0::3], s[1::3]
+                x0, x1 = float(np.min(x)), float(np.max(x))
+                y0, y1 = float(np.min(y)), float(np.max(y))
+                d["area"] = (x1 - x0) * (y1 - y0)
+                d["bbox"] = [x0, y0, x1 - x0, y1 - y0]
+            else:
+                d["area"] = d["bbox"][2] * d["bbox"][3]
             prepared.append(d)
         self.dt = prepared
         self.iou_type = iou_type

@@ -75,6 +75,30 @@ def get_mesh_2d(spatial, batch_size=None, devices=None):
 _SPATIAL_FIELDS = ("input", "input_u8")
 
 
+def shard_batch_stacked(mesh, batches, axis_name="data"):
+    """Stack a list of per-step batch dicts on a new leading (step) axis
+    and place the result in one transfer: (K, B, ...) with the batch dim
+    (axis 1) sharded over `axis_name` and the step dim replicated.
+
+    Through a remote-dispatch link (axon tunnel) every device_put and
+    every jit call is a network round trip; the scan-based multi-step
+    (engine/trainer.py run_epoch) uses this to turn K steps' uploads
+    into ONE upload of a (K, ...) stack."""
+    import numpy as np
+    s = NamedSharding(mesh, P(None, axis_name))
+    spatial = "spatial" in mesh.axis_names and mesh.shape["spatial"] > 1
+    out = {}
+    for k in batches[0]:
+        a = np.stack([b[k] for b in batches], axis=0)
+        if spatial and k in _SPATIAL_FIELDS \
+                and a.shape[2] % mesh.shape["spatial"] == 0:
+            sp = NamedSharding(mesh, P(None, axis_name, "spatial"))
+            out[k] = jax.device_put(a, sp)
+        else:
+            out[k] = jax.device_put(a, s)
+    return out
+
+
 def data_sharding(mesh, axis_name="data"):
     return NamedSharding(mesh, P(axis_name))
 

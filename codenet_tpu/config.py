@@ -241,6 +241,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--int8_infer", action="store_true",
                    help="lower the quantized model to real int8 convolutions "
                         "for inference")
+    p.add_argument("--w4a8_artifact", default="",
+                   help="load weights from a packed W4A8 deployment "
+                        "artifact (tools_tpu/export_w4a8.py) instead of a "
+                        "checkpoint; requires --resume-quantize "
+                        "--int8_infer (bit-identical to the exported "
+                        "model's int8 eval)")
     return p
 
 

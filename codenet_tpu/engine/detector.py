@@ -73,7 +73,16 @@ class BaseDetector:
             init_vars = self.model.init(
                 rng, jnp.zeros((1, opt.input_h, opt.input_w, 3), jnp.float32))
             self.variables = dict(init_vars)
-            if opt.load_model:
+            artifact = getattr(opt, "w4a8_artifact", "")
+            if artifact:
+                if qspec is None or not qspec.int8_infer:
+                    raise ValueError(
+                        "--w4a8_artifact needs --resume-quantize "
+                        "--int8_infer: the artifact holds integer "
+                        "weights for the real-int8 path only")
+                from . import w4a8
+                self.variables = w4a8.load_w4a8(artifact, self.variables)
+            elif opt.load_model:
                 self.variables, _, _ = checkpoint.load_model(
                     opt.load_model, self.variables)
 

@@ -29,6 +29,65 @@ from ..ops.quant import QTensor
 from ..ops.deform_conv import codesign_deform_conv
 
 
+def resolve_int8_weights(mod, kernel_folded, bias, w_bit, qspec):
+    """(q_w, w_scale, bias) for the real-int8 conv path, with deployment
+    artifact support (tools_tpu/export_w4a8.py).
+
+    Three modes, decided by the 'deploy' variable collection:
+    - capture (collection mutable): derive the integer weights from the
+      float checkpoint exactly as runtime lowering does, and sow them so
+      the exporter can pack the int4 artifact;
+    - artifact (collection provided read-only): use its tensors verbatim —
+      eval runs bit-identically from the packed artifact without ever
+      touching float kernels (the reference ships exactly this: a
+      quantized parameter file, README.md:14-18 model sizes);
+    - plain (no collection): derive on the fly; under the detector's
+      weight-closure jit XLA constant-folds the derivation."""
+    if mod.is_mutable_collection("deploy"):
+        q_w, w_scale = Q.quantize_weight_int(
+            kernel_folded, w_bit, qspec.per_channel, qspec.wt_percentile)
+        b = bias if bias is not None else jnp.zeros((0,), jnp.float32)
+        mod.put_variable("deploy", "q_w", q_w)
+        mod.put_variable("deploy", "w_scale", w_scale)
+        mod.put_variable("deploy", "bias", b)
+        mod.put_variable("deploy", "w_bit", jnp.int32(w_bit))
+        return q_w, w_scale, bias
+    if mod.has_variable("deploy", "q_w"):
+        q_w = mod.get_variable("deploy", "q_w").astype(jnp.int8)
+        w_scale = mod.get_variable("deploy", "w_scale")
+        b = mod.get_variable("deploy", "bias")
+        return q_w, w_scale, (None if b.shape[0] == 0 else b)
+    q_w, w_scale = Q.quantize_weight_int(
+        kernel_folded, w_bit, qspec.per_channel, qspec.wt_percentile)
+    return q_w, w_scale, bias
+
+
+def resolve_fakequant_weight(mod, kernel, w_bit, qspec):
+    """Fake-quantized float weight, artifact-aware (deform kernels).
+
+    At eval fake_quant_weight's output is exactly q/scale (the STE wrapper
+    is numerically the dequantized levels), so the W4A8 artifact can carry
+    these weights as int4 levels + scale too: capture mode sows (q, scale),
+    artifact mode reconstructs q/scale — bit-identical to re-deriving from
+    the float checkpoint. Falls back to plain fake-quant for range modes
+    quantize_weight_int doesn't model (asymmetric / per-tensor)."""
+    exportable = qspec.wt_mode == "symmetric" and qspec.per_channel
+    if exportable and mod.is_mutable_collection("deploy"):
+        q_w, w_scale = Q.quantize_weight_int(
+            kernel, w_bit, qspec.per_channel, qspec.wt_percentile)
+        mod.put_variable("deploy", "q_w", q_w)
+        mod.put_variable("deploy", "w_scale", w_scale)
+        mod.put_variable("deploy", "bias", jnp.zeros((0,), jnp.float32))
+        mod.put_variable("deploy", "w_bit", jnp.int32(w_bit))
+        return q_w.astype(jnp.float32) / w_scale[None, None, None, :]
+    if exportable and mod.has_variable("deploy", "q_w"):
+        q_w = mod.get_variable("deploy", "q_w").astype(jnp.float32)
+        w_scale = mod.get_variable("deploy", "w_scale")
+        return q_w / w_scale[None, None, None, :]
+    return Q.fake_quant_weight(kernel, w_bit, qspec.wt_mode,
+                               qspec.per_channel, qspec.wt_percentile)
+
+
 def qt_spatial(fn, x):
     """Apply a quantization-transparent spatial op (slice/concat/shuffle/
     maxpool/nearest-upsample) to a float array or a QTensor's values."""
@@ -345,9 +404,9 @@ class Conv(nn.Module):
         bias = self.param("bias", self.bias_init, (self.features,)) \
             if self.use_bias else None
         if is_qt and self.qspec is not None and self.qspec.int8_infer:
-            q_w, w_scale = Q.quantize_weight_int(
-                kernel, self.w_bit or self.qspec.w_bit,
-                self.qspec.per_channel, self.qspec.wt_percentile)
+            q_w, w_scale, bias = resolve_int8_weights(
+                self, kernel, bias, self.w_bit or self.qspec.w_bit,
+                self.qspec)
             return Q.int8_conv(x, q_w, w_scale, bias, self.stride,
                                self.padding, self.groups)
         x = as_float(x)
@@ -401,9 +460,9 @@ class ConvBN(nn.Module):
             w, b = Q.fold_bn(kernel, None, gamma, beta, ra_mean.value,
                              ra_var.value, self.eps)
             if is_qt and self.qspec.int8_infer:
-                q_w, w_scale = Q.quantize_weight_int(
-                    w, self.w_bit or self.qspec.w_bit,
-                    self.qspec.per_channel, self.qspec.wt_percentile)
+                q_w, w_scale, b = resolve_int8_weights(
+                    self, w, b, self.w_bit or self.qspec.w_bit,
+                    self.qspec)
                 return Q.int8_conv(x, q_w, w_scale, b, self.stride,
                                    self.padding, self.groups)
             x = as_float(x)
@@ -478,9 +537,8 @@ class CodesignDeformBlock(nn.Module):
         dw_kernel = self.param("deform_kernel", deform_weight_init(cin),
                                (3, 3, 1, cin))
         if self.qspec is not None:
-            dw_kernel = Q.fake_quant_weight(
-                dw_kernel, self.qspec.w_bit, self.qspec.wt_mode,
-                self.qspec.per_channel, self.qspec.wt_percentile)
+            dw_kernel = resolve_fakequant_weight(
+                self, dw_kernel, self.qspec.w_bit, self.qspec)
         # bilinear gather needs the float domain; integer inputs dequantize
         # here (the sampled values feed the quantized 1x1 mixer next)
         xf = as_float(x)

@@ -180,6 +180,14 @@ def batched_test(opt):
     # --device_warp, fed by a gather instead of a transfer).
     import time as _time
     cache_dev = cache_geo = None
+    if getattr(opt, "device_cache", False) \
+            and not hasattr(dataset, "load_raw_image"):
+        # mirror run_training's guard (cli/main.py): the ctdet-only check
+        # above normally implies CTDetSampler, but fail soft, not with an
+        # AttributeError from inside ImageCache.build
+        print("device_cache: {} dataset has no raw-image feed; using the "
+              "host pre-process path".format(opt.dataset))
+        opt.device_cache = False
     if getattr(opt, "device_cache", False):
         from ..data.device_cache import ImageCache
         if getattr(opt, "device_cache_shard", False):
@@ -302,12 +310,43 @@ def batched_test(opt):
                 (ids, detector.process_batch_raw(raw, wtis, tis)))
             drain()
 
+        # K-batch scan grouping for the cached path (VERDICT r4 next-#6:
+        # one dispatch per batch made the tunnel RTT the whole critical
+        # path — 1.31 s of a 1.4 s 256-image pass). Buffer K batches and
+        # run them as ONE lax.scan dispatch; K is FIXED per eval (last
+        # group padded by repeating its tail batch) so exactly one scan
+        # program compiles.
+        scan_k = max(1, min(-(-n // bs),
+                            int(os.environ.get("CODENET_EVAL_SCAN_K",
+                                               "64"))))
+        cached_groups = []  # buffered per-batch (ids, idx, wtis, tis)
+
+        def flush_cached(force=False):
+            while cached_groups and (force or len(cached_groups) >= scan_k):
+                take = cached_groups[:scan_k]
+                del cached_groups[:scan_k]
+                ids = [i for t in take for i in t[0]]
+                pad = [take[-1]] * (scan_k - len(take))
+                full = take + pad
+                idx = np.stack([t[1] for t in full], axis=0)
+                wtis = np.stack([t[2] for t in full], axis=0)
+                tis = np.stack([t[3] for t in full], axis=0)
+                dev = detector.process_batches_cached(cache_dev, idx,
+                                                      wtis, tis)
+                # (K, B, topk, 6) -> (K*B, topk, 6); padded rows trail
+                inflight.append((ids, dev.reshape((-1,) + dev.shape[2:])))
+                drain()
+
         def run_chunk_cached(chunk):
             ids = [c[1] for c in chunk]
             padded = chunk + [chunk[-1]] * (bs - len(chunk))
             idx = np.asarray([c[2] for c in padded], np.int32)
             wtis = np.stack([c[3] for c in padded], axis=0)
             tis = np.stack([c[4] for c in padded], axis=0)
+            if scan_k > 1:
+                cached_groups.append((ids, idx, wtis, tis))
+                flush_cached()
+                return
             inflight.append(
                 (ids,
                  detector.process_batch_cached(cache_dev, idx, wtis, tis)))
@@ -341,6 +380,7 @@ def batched_test(opt):
                 if chunk:
                     runners[kind](chunk)
                     done += len(chunk)
+            flush_cached(force=True)
             drain(force=True)
             pass_times.append(_time.time() - t0)
             print("batched eval: {} images in {:.1f}s".format(

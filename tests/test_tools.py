@@ -12,21 +12,27 @@ def test_run_configs_ae_dry_run_commands():
         [sys.executable, "tools_tpu/run_configs_ae.py", "--dry_run"],
         cwd=REPO, text=True)
     lines = out.strip().splitlines()
-    # 5 configs x 3 stages
-    assert len(lines) == 15, out
+    # 5 configs x 5 stages (fp32, qat, fake-quant eval, int8 eval, export)
+    assert len(lines) == 25, out
     # config flags mirror the README recipes exactly
     a_train = next(l for l in lines if l.startswith("[a:fp32_train]"))
     assert "--input_res 256" in a_train and "--num_epochs 90" in a_train \
         and "--lr_step 50,70" in a_train and "--w2" not in a_train
-    b_eval = next(l for l in lines if l.startswith("[b:eval]"))
+    b_eval = next(l for l in lines if l.startswith("[b:eval_fakequant]"))
     assert "--maxpool" in b_eval and "--flip_test" in b_eval \
-        and "--resume-quantize" in b_eval
+        and "--resume-quantize" in b_eval and "--act_clamp" in b_eval \
+        and "--int8_infer" not in b_eval
+    b_int8 = next(l for l in lines if l.startswith("[b:eval_int8]"))
+    assert "--int8_infer" in b_int8 and "--act_clamp" in b_int8
     d_qat = next(l for l in lines if l.startswith("[d:qat_finetune]"))
     assert "--w2" in d_qat and "--num_epochs 180" in d_qat \
-        and "--wt-percentile" in d_qat and "--resume" in d_qat
+        and "--wt-percentile" in d_qat and "--resume" in d_qat \
+        and "--act_clamp" in d_qat
     e_train = next(l for l in lines if l.startswith("[e:fp32_train]"))
     assert "--w2" in e_train and "--maxpool" in e_train \
         and "--input_res 512" in e_train
+    c_exp = next(l for l in lines if l.startswith("[c:export_w4a8]"))
+    assert "export_w4a8.py" in c_exp and "--resume-quantize" in c_exp
 
 
 def test_run_configs_ae_subset():
@@ -35,7 +41,7 @@ def test_run_configs_ae_subset():
          "--configs", "c", "--fp32_epochs", "2", "--qat_epochs", "1"],
         cwd=REPO, text=True)
     lines = out.strip().splitlines()
-    assert len(lines) == 3
+    assert len(lines) == 5
     assert "--num_epochs 2" in lines[0] and "--num_epochs 1" in lines[1]
 
 

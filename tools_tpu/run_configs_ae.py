@@ -5,8 +5,23 @@ Chains, per config, the reference's exact recipe
 (/root/reference/README.md:88-116):
   1. FP32 train   — main.py ctdet, 90 epochs, lr_step 50,70
   2. QAT finetune — quant_main.py, 180 epochs from the FP32 ckpt,
-                    --resume-quantize --wt-percentile
-  3. Eval         — test.py with --flip_test --resume-quantize
+                    --resume-quantize --wt-percentile --act_clamp
+  3. Eval (fake)  — test.py with --flip_test --resume-quantize --act_clamp
+                    (results archived as results_fakequant.json)
+  4. Eval (int8)  — same plus --int8_infer: the deployed real-int8 conv
+                    path (results archived as results_int8.json)
+  5. Export       — tools_tpu/export_w4a8.py packs the W4A8 deployment
+                    artifact (model_w4a8.npz: int4 weights 2/byte +
+                    scales + folded biases + frozen act ranges), the
+                    TPU-native equivalent of the reference's published
+                    0.76 MB / 2.90 MB parameter files (README.md:14-18)
+
+The QAT stage trains with --act_clamp (activations saturated to the
+signed int8 window) so the numbers the matrix reports describe the
+DEPLOYED model, exactly as the reference's published table does — its
+README numbers are the W4A8 model the quantizer emits, not a fake-quant
+proxy (README.md:14-18). NOTES #33 / SYNTH_DELTAS.json measured that
+clamp-trained QAT closes the int8 gap to within noise (int8-ct >= qat).
 
 Configs (README.md Table 3):
   a: 256x256 stride-4        c: 512x512 stride-4    e: 512x512 --w2 --maxpool
@@ -77,15 +92,24 @@ def build_commands(cfg_name, opts):
     qat = py + ["quant_main.py", "ctdet", *flags, *extra,
                 "--num_epochs", str(opts.qat_epochs),
                 "--lr_step", opts.lr_step,
-                "--resume", "--resume-quantize", "--wt-percentile"]
-    test = py + ["test.py", "ctdet", *flags,
-                 "--resume", "--flip_test", "--resume-quantize"]
+                "--resume", "--resume-quantize", "--wt-percentile",
+                "--act_clamp"]
+    test_fake = py + ["test.py", "ctdet", *flags,
+                      "--resume", "--flip_test", "--resume-quantize",
+                      "--act_clamp"]
+    test_int8 = py + ["test.py", "ctdet", *flags,
+                      "--resume", "--flip_test", "--resume-quantize",
+                      "--act_clamp", "--int8_infer"]
+    export = py + ["tools_tpu/export_w4a8.py", "ctdet", *flags,
+                   "--resume", "--resume-quantize", "--wt-percentile",
+                   "--act_clamp"]
     return exp, [("fp32_train", train), ("qat_finetune", qat),
-                 ("eval", test)]
+                 ("eval_fakequant", test_fake), ("eval_int8", test_int8),
+                 ("export_w4a8", export)]
 
 
 def stage_done(exp_dir, stage, opts):
-    """Resumability: skip a train stage whose terminal ckpt exists."""
+    """Resumability: skip a stage whose terminal artifact exists."""
     last = os.path.join(exp_dir, "model_last.ckpt")
     if not os.path.exists(last):
         return False
@@ -95,6 +119,12 @@ def stage_done(exp_dir, stage, opts):
         return os.path.exists(os.path.join(exp_dir, ".fp32_done"))
     if stage == "qat_finetune":
         return os.path.exists(os.path.join(exp_dir, ".qat_done"))
+    if stage.startswith("eval_"):
+        tag = stage[len("eval_"):]
+        return os.path.exists(os.path.join(exp_dir,
+                                           f"results_{tag}.json"))
+    if stage == "export_w4a8":
+        return os.path.exists(os.path.join(exp_dir, "model_w4a8.npz"))
     return False
 
 
@@ -166,6 +196,17 @@ def main(argv=None):
                 marker = ".fp32_done" if stage == "fp32_train" \
                     else ".qat_done"
                 open(os.path.join(exp_dir, marker), "w").close()
+            elif stage.startswith("eval_"):
+                # archive this eval's detections under a stage-tagged
+                # name (results.json is rewritten by every test.py run;
+                # the tagged copy is what summarize_results.py scores)
+                tag = stage[len("eval_"):]
+                src = os.path.join(exp_dir, "results.json")
+                if os.path.exists(src):
+                    import shutil
+                    shutil.copyfile(
+                        src, os.path.join(exp_dir,
+                                          f"results_{tag}.json"))
         if not args.dry_run:
             summary[name] = {"exp_dir": exp_dir,
                              "target_ap50": CONFIGS[name]["ap50"]}

@@ -113,3 +113,55 @@ def test_artifact_size_matches_reference_claim(tmp_path):
         assert abs(mb - target_mb) / target_mb < 0.25, (
             f"w2={w2}: artifact {mb:.3f} MB vs reference "
             f"{target_mb} MB ({sizes})")
+
+
+def test_artifact_detector_cli_path(tmp_path):
+    """--w4a8_artifact end-to-end: a detector constructed with the flag
+    produces the same program output as one loading the checkpoint
+    (both on the real-int8 path), and refuses to load without
+    --resume-quantize --int8_infer."""
+    from codenet_tpu import config as cfg
+    from codenet_tpu.engine import checkpoint
+    from codenet_tpu.engine.detector import detector_factory
+
+    model, v, x = _qat_model_and_vars(res=64)
+    ckpt = os.path.join(tmp_path, "model_last.ckpt")
+    checkpoint.save_model(ckpt, 1, v)
+    art = os.path.join(tmp_path, "model_w4a8.npz")
+    w4a8.export_w4a8(model, v, (64, 64), art)
+
+    def _opt(extra=""):
+        args = ("ctdet --dataset pascal --arch shufflenetv2 "
+                "--input_res 64 --exp_id w4a8cli --resume-quantize "
+                "--int8_infer " + extra)
+        opt = cfg.parse(args.split())
+        opt.heads = HEADS
+        opt = cfg.update_dataset_info_and_set_heads(
+            opt, cfg.DATASET_SPECS["pascal"])
+        opt.heads = HEADS
+        return opt
+
+    opt_ck = _opt()
+    opt_ck.load_model = ckpt
+    det_ck = detector_factory("ctdet")(opt_ck)
+    opt_ar = _opt(f"--w4a8_artifact {art}")
+    det_ar = detector_factory("ctdet")(opt_ar)
+
+    img = np.asarray(x[0] * 50 + 127, np.uint8)
+    images, meta = det_ck.pre_process(img, 1.0)
+    ti = meta["trans_inv"][None] if "trans_inv" in meta else None
+    out_ck = np.asarray(det_ck.process_batch(
+        np.asarray(images[:1]), np.eye(2, 3)[None]))
+    out_ar = np.asarray(det_ar.process_batch(
+        np.asarray(images[:1]), np.eye(2, 3)[None]))
+    # not array_equal here: the ckpt detector derives q_w/scales under
+    # XLA constant folding while the exporter derived them eagerly —
+    # fma/reassociation gives ~1-ulp scale differences (observed 1e-11
+    # on the decoded dets). The apply-level tests above pin the strict
+    # bit-identity of the load path itself.
+    np.testing.assert_allclose(out_ck, out_ar, rtol=1e-5, atol=1e-6)
+
+    bad = _opt(f"--w4a8_artifact {art}")
+    bad.resume_quantize = False
+    with pytest.raises(ValueError):
+        detector_factory("ctdet")(bad)

@@ -134,6 +134,63 @@ def bench_train(input_res=256, batch=128, iters=50, warm=10,
     return ips, flops
 
 
+def bench_train_scan(input_res=256, batch=128, k=8, iters=6, warm=2,
+                     dtype="bfloat16"):
+    """Pure-device train-step rate: K steps inside ONE lax.scan dispatch.
+
+    The per-step bench (`bench_train`) pays one tunnel dispatch per step,
+    which round 4 showed absorbs kernel-level wins (~6 ms/step at b128
+    against a ~29 ms step — VERDICT r4 weak-#1). The shipped train path
+    is the scan epoch engine (engine/trainer.py make_multi_train_step,
+    NOTES #40), whose steady state is K steps per dispatch; this entry
+    measures that path, so the archived number is the rate training
+    actually runs at. Stacked batches are replicated ON DEVICE (one
+    jnp.stack under jit) so the tunnel never uploads K copies."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from codenet_tpu import config as cfg
+    from codenet_tpu.engine.trainer import Trainer, make_multi_train_step
+
+    extra = " --dtype bfloat16" if dtype == "bfloat16" else ""
+    opt = cfg.parse(
+        ("ctdet --dataset pascal --arch shufflenetv2 "
+         f"--input_res {input_res} --batch_size {batch}" + extra).split())
+    opt = cfg.update_dataset_info_and_set_heads(
+        opt, cfg.DATASET_SPECS["pascal"])
+    trainer = Trainer(opt)
+    trainer.init(input_shape=(1, input_res, input_res, 3))
+
+    out_res = input_res // opt.down_ratio
+    rng = np.random.RandomState(0)
+    m = 128
+    batch_np = {
+        "input": rng.randn(batch, input_res, input_res, 3)
+        .astype(np.float32),
+        "hm": np.zeros((batch, out_res, out_res, 20), np.float32),
+        "wh": rng.rand(batch, m, 2).astype(np.float32),
+        "reg": rng.rand(batch, m, 2).astype(np.float32),
+        "ind": rng.randint(0, out_res * out_res, (batch, m))
+        .astype(np.int64),
+        "reg_mask": np.ones((batch, m), np.uint8),
+    }
+    batch_np["hm"][:, out_res // 2, out_res // 2, 0] = 1.0
+    batch_dev = {kk: jnp.asarray(v) for kk, v in batch_np.items()}
+    stack = jax.jit(lambda b: jax.tree_util.tree_map(
+        lambda x: jnp.stack([x] * k), b))
+    stacked = stack(batch_dev)
+
+    multi = make_multi_train_step(trainer.train_step.raw, k)
+
+    def step():
+        trainer.variables, trainer.opt_state, stats = multi(
+            trainer.variables, trainer.opt_state, stacked, None)
+        return stats["loss"][-1]
+
+    dt = _time_loop(step, iters, warm)
+    return batch * k * iters / dt
+
+
 def bench_infer_multipose(input_res=256, batch=128, iters=60, warm=20):
     """multi_pose fused forward+decode img/s (task-breadth entry): the
     17-joint keypoint decode incl. the per-joint topk_channel peak snap
@@ -351,6 +408,10 @@ def main():
             input_res=512, batches=(32,), w2=True, iters=50)[0],
         "multipose_infer_bf16_256": bench_infer_multipose,
         "ctdet_train_bf16_256": train_bf16_mfu,
+        # the shipped train path (scan epoch engine): K steps/dispatch,
+        # i.e. the per-step number minus tunnel dispatch overhead
+        "ctdet_train_scan_bf16_256": lambda: bench_train_scan(
+            dtype="bfloat16", batch=128),
         "ctdet_train_f32_256": lambda: bench_train(dtype="float32",
                                                    batch=128),
         "ctdet_e2e_devwarp_256": lambda: bench_e2e(device_warp=True),

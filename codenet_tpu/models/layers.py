@@ -42,8 +42,16 @@ def resolve_int8_weights(mod, kernel_folded, bias, w_bit, qspec):
       touching float kernels (the reference ships exactly this: a
       quantized parameter file, README.md:14-18 model sizes);
     - plain (no collection): derive on the fly; under the detector's
-      weight-closure jit XLA constant-folds the derivation."""
-    if mod.is_mutable_collection("deploy"):
+      weight-closure jit XLA constant-folds the derivation.
+
+    The capture branch must NOT run during model.init — flax makes every
+    collection mutable there, so init would bake q_w derived from the
+    random init weights into the variables, the tolerant checkpoint load
+    would keep them (no deploy/* in the ckpt), and eval would consume
+    garbage integer weights (found as a real int8 AP=0 on the config-a
+    matrix run). Capture is only for an explicit
+    apply(..., mutable=['deploy']) (engine/w4a8.py capture_deploy)."""
+    if mod.is_mutable_collection("deploy") and not mod.is_initializing():
         q_w, w_scale = Q.quantize_weight_int(
             kernel_folded, w_bit, qspec.per_channel, qspec.wt_percentile)
         b = bias if bias is not None else jnp.zeros((0,), jnp.float32)
@@ -72,7 +80,8 @@ def resolve_fakequant_weight(mod, kernel, w_bit, qspec):
     the float checkpoint. Falls back to plain fake-quant for range modes
     quantize_weight_int doesn't model (asymmetric / per-tensor)."""
     exportable = qspec.wt_mode == "symmetric" and qspec.per_channel
-    if exportable and mod.is_mutable_collection("deploy"):
+    if exportable and mod.is_mutable_collection("deploy") \
+            and not mod.is_initializing():
         q_w, w_scale = Q.quantize_weight_int(
             kernel, w_bit, qspec.per_channel, qspec.wt_percentile)
         mod.put_variable("deploy", "q_w", q_w)

@@ -115,6 +115,75 @@ def test_artifact_size_matches_reference_claim(tmp_path):
             f"{target_mb} MB ({sizes})")
 
 
+def test_init_creates_no_deploy_and_stale_deploy_is_dropped(tmp_path):
+    """Regression for the stale-deploy bug (round-5 config-a int8 AP=0).
+
+    flax makes every collection mutable during model.init, so the deploy
+    capture branch used to run at init and bake integer weights derived
+    from the RANDOM init — the tolerant checkpoint load then kept them
+    (no deploy/* in the ckpt) and the int8 eval consumed garbage. The
+    earlier bit-identity tests missed it because their params never
+    changed after init (stale == fresh). Pins:
+    (a) init produces no 'deploy' collection in either quant mode;
+    (b) a checkpoint that CARRIES a stale deploy collection (saved by
+        the buggy trainer) is dropped by load_model into a clean init;
+    (c) the int8 forward follows the params: perturbing a conv kernel
+        after init changes the output (weights are not frozen captures).
+    """
+    from codenet_tpu.engine import checkpoint
+
+    for int8 in (False, True):
+        qs = QuantSpec(int8_infer=int8)
+        m = create_model("shufflenetv2", HEADS, 64, qspec=qs)
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        vi = dict(m.init(jax.random.PRNGKey(0), x))
+        assert "deploy" not in vi, f"init captured deploy (int8={int8})"
+
+    model, v, x = _qat_model_and_vars()
+    # (b) stale-deploy checkpoint is dropped on load
+    stale = dict(v, deploy={"bogus": {"q_w": np.zeros((1,), np.int8)}})
+    ckpt = os.path.join(tmp_path, "stale.ckpt")
+    checkpoint.save_model(ckpt, 1, stale)
+    loaded, _, _ = checkpoint.load_model(ckpt, dict(v))
+    assert "deploy" not in loaded
+
+    # (c) int8 output follows params
+    out_ref = model.apply(v, x)
+    flat = w4a8._flatten(v["params"])
+    key = next(p for p in flat if p[-1] == "kernel"
+               and flat[p].ndim == 4 and flat[p].shape[2] > 1)
+    flat2 = dict(flat)
+    flat2[key] = flat[key] * 2.0
+    v2 = dict(v, params=w4a8._unflatten(flat2))
+    out2 = model.apply(v2, x)
+    assert any(
+        not np.array_equal(np.asarray(out_ref[h]), np.asarray(out2[h]))
+        for h in out_ref), "int8 eval ignored a params change"
+
+
+def test_qat_grad_reaches_deform_kernel():
+    """The stale-deploy bug also froze QAT: resolve_fakequant_weight
+    consumed the init-captured deform q_w (a constant), so the deform
+    dw kernels received ZERO gradient for the whole fine-tune. Pin that
+    the QAT fake-quant forward carries gradient back to deform_kernel."""
+    qs = QuantSpec()  # fake-quant QAT mode
+    model = create_model("shufflenetv2", HEADS, 64, qspec=qs)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 3)) * 0.5
+    v = dict(model.init(jax.random.PRNGKey(1), x))
+
+    def loss(params):
+        out = model.apply(dict(v, params=params), x)
+        return sum(jnp.sum(jnp.abs(o)) for o in out.values())
+
+    g = jax.grad(loss)(v["params"])
+    flat = w4a8._flatten(g)
+    dk = {p: a for p, a in flat.items() if p[-1] == "deform_kernel"}
+    assert dk, "no deform kernels in the grad tree"
+    for p, a in dk.items():
+        assert float(jnp.max(jnp.abs(a))) > 0.0, (
+            f"zero gradient on {p}: deform kernel frozen")
+
+
 def test_artifact_detector_cli_path(tmp_path):
     """--w4a8_artifact end-to-end: a detector constructed with the flag
     produces the same program output as one loading the checkpoint

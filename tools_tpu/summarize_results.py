@@ -1,17 +1,21 @@
 #!/usr/bin/env python
 """Collect the configs a-e training matrix into RESULTS.md.
 
-Reads each exp/ctdet/pascal_shufflenetv2_config_<x>/results.json produced
-by run_configs_ae.py, re-scores it in-process against the dataset GT, and
-writes a markdown table (AP50 all-20 + present-class mean) alongside the
-training provenance (epochs, command lines from opt.txt, checkpoint
-sizes). The reference targets (README.md:14-18) are listed for context;
-on synthetic data they are NOT comparable numbers — the table documents
-that the full FP32->QAT->flip-eval recipe trains and detects end-to-end
-at every config's capacity.
+Reads each exp/ctdet/pascal_shufflenetv2_config_<x>/ eval archive produced
+by run_configs_ae.py — results_fakequant.json (QAT fake-quant eval) and
+results_int8.json (the DEPLOYED real-int8 conv path, --int8_infer) — and
+re-scores them in-process against the dataset GT. The table carries both
+numbers per config plus their delta, so the matrix describes the deployed
+W4A8 model exactly as the reference's published table does
+(/root/reference/README.md:14-18 are deployed-model numbers), alongside
+the float checkpoint size and the packed W4A8 artifact size
+(model_w4a8.npz, tools_tpu/export_w4a8.py). The reference targets are
+real-VOC numbers, listed for context; on synthetic data they are NOT
+comparable — the table documents that the full FP32->QAT->deployed-eval
+recipe trains and detects end-to-end at every config's capacity.
 
 Usage: python tools_tpu/summarize_results.py --data_dir /tmp/synthvoc \
-           [--out RESULTS.md] [--note "..."]
+           [--out RESULTS.md] [--note "..."] [--cmdline "..."]
 """
 
 import argparse
@@ -31,30 +35,39 @@ CONFIGS = {
 }
 
 
-def score_config(name, data_dir):
+def _score_file(results, gt, classes):
     from codenet_tpu.eval.voc_eval import voc_eval_from_coco_json
+    scores = voc_eval_from_coco_json(results, gt, classes, quiet=True)
+    with open(gt) as f:
+        present = {a["category_id"] for a in json.load(f)["annotations"]}
+    aps = [scores["per_class"][classes[c - 1]] for c in present]
+    return {"ap50_all20": scores["AP50"],
+            "ap50_present": sum(aps) / max(len(aps), 1),
+            "n_present": len(aps)}
+
+
+def score_config(name, data_dir):
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from synthetic import VOC_CLASSES
 
     exp_dir = os.path.join(REPO, "exp", "ctdet",
                            f"pascal_shufflenetv2_config_{name}")
-    results = os.path.join(exp_dir, "results.json")
     gt = os.path.join(data_dir, "voc", "annotations", "pascal_test2007.json")
-    if not os.path.exists(results):
+    out = {"exp_dir": os.path.relpath(exp_dir, REPO)}
+    for tag, fn in (("fakequant", "results_fakequant.json"),
+                    ("int8", "results_int8.json"),
+                    ("latest", "results.json")):
+        path = os.path.join(exp_dir, fn)
+        if os.path.exists(path):
+            out[tag] = _score_file(path, gt, VOC_CLASSES)
+    if not any(t in out for t in ("fakequant", "int8", "latest")):
         return None
-    scores = voc_eval_from_coco_json(results, gt, VOC_CLASSES, quiet=True)
-    with open(gt) as f:
-        present = {a["category_id"] for a in json.load(f)["annotations"]}
-    aps = [scores["per_class"][VOC_CLASSES[c - 1]] for c in present]
-    out = {
-        "ap50_all20": scores["AP50"],
-        "ap50_present": sum(aps) / max(len(aps), 1),
-        "n_present": len(aps),
-        "exp_dir": os.path.relpath(exp_dir, REPO),
-    }
     ckpt = os.path.join(exp_dir, "model_last.ckpt")
     if os.path.exists(ckpt):
         out["ckpt_mb"] = os.path.getsize(ckpt) / 1e6
+    npz = os.path.join(exp_dir, "model_w4a8.npz")
+    if os.path.exists(npz):
+        out["w4a8_mb"] = os.path.getsize(npz) / 1e6
     log_lines = []
     for fn in sorted(os.listdir(exp_dir)):
         if fn.startswith("log_"):
@@ -63,6 +76,12 @@ def score_config(name, data_dir):
     if log_lines:
         out["last_epoch_line"] = log_lines[-1]
     return out
+
+
+def _fmt(s, tag):
+    if s is None or tag not in s:
+        return "—"
+    return f"{s[tag]['ap50_all20']:.4f}"
 
 
 def main(argv=None):
@@ -82,16 +101,19 @@ def main(argv=None):
         f.write("# RESULTS — trained checkpoints & measured AP50\n\n")
         if args.note:
             f.write(args.note.strip() + "\n\n")
-        f.write("| config | geometry | AP50 (20-cls) | AP50 (present) | "
-                "ckpt MB | reference VOC target |\n")
-        f.write("|---|---|---|---|---|---|\n")
+        f.write("| config | geometry | AP50 fake-quant | AP50 int8 "
+                "(deployed) | int8−fake | float ckpt MB | W4A8 artifact MB "
+                "| reference VOC target |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
         for name, desc, ref_ap, s in rows:
-            if s is None:
-                f.write(f"| {name} | {desc} | — | — | — | {ref_ap} |\n")
-                continue
-            f.write(f"| {name} | {desc} | {s['ap50_all20']:.4f} | "
-                    f"{s['ap50_present']:.4f} ({s['n_present']} cls) | "
-                    f"{s.get('ckpt_mb', 0):.1f} | {ref_ap} |\n")
+            fq, i8 = _fmt(s, "fakequant"), _fmt(s, "int8")
+            delta = "—"
+            if s and "fakequant" in s and "int8" in s:
+                delta = (f"{s['int8']['ap50_all20'] - s['fakequant']['ap50_all20']:+.4f}")
+            ckpt = f"{s['ckpt_mb']:.1f}" if s and "ckpt_mb" in s else "—"
+            w4a8 = f"{s['w4a8_mb']:.2f}" if s and "w4a8_mb" in s else "—"
+            f.write(f"| {name} | {desc} | {fq} | {i8} | {delta} | {ckpt} | "
+                    f"{w4a8} | {ref_ap} |\n")
         f.write("\n")
         if args.cmdline:
             f.write(f"Command line:\n\n```\n{args.cmdline.strip()}\n```\n\n")
@@ -102,8 +124,8 @@ def main(argv=None):
     print(f"wrote {args.out}")
     for name, _, _, s in rows:
         if s:
-            print(f"  {name}: AP50={s['ap50_all20']:.4f} "
-                  f"present={s['ap50_present']:.4f}")
+            print(f"  {name}: fakequant={_fmt(s, 'fakequant')} "
+                  f"int8={_fmt(s, 'int8')}")
     return 0
 
 

@@ -196,7 +196,10 @@ def max_pool(x, window=3, stride=2, padding=1):
     if jnp.issubdtype(x.dtype, jnp.floating):
         neg = -jnp.inf
     else:
-        neg = jnp.iinfo(x.dtype).min
+        # reduce_window requires init dtype == operand dtype; a bare
+        # Python int would weak-type to int32 and reject int8 operands
+        # (--maxpool --int8_infer: layer0's pool runs on the int8 QTensor)
+        neg = jnp.array(jnp.iinfo(x.dtype).min, dtype=x.dtype)
     return jax.lax.reduce_window(
         x, neg, jax.lax.max,
         window_dimensions=(1, window, window, 1),

@@ -114,3 +114,21 @@ def test_layer_audit_lowering_noise_floor():
     # and the audit must be able to SEE clamp divergence when ranges
     # undershoot (otherwise the 0-lowering result proves nothing)
     assert max(r["clamped_vs_qat"] for r in rows) > 0.01
+
+
+def test_int8_maxpool_config_b_geometry():
+    """--maxpool + --int8_infer (config b/e deployed eval): layer0's
+    maxpool runs on the int8 QTensor, and reduce_window requires the
+    init value dtype to match the operand — a bare Python int weak-types
+    to int32 and raises. First exercised by the round-5 config-b int8
+    eval (the audits before it all used config a's stride-4 layer0)."""
+    qs = QuantSpec(int8_infer=True)
+    m = create_model("shufflenetv2", HEADS, 64, maxpool=True, qspec=qs)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v = dict(m.init(jax.random.PRNGKey(0), x))
+    v["quant_stats"] = jax.tree_util.tree_map_with_path(
+        lambda p, a: a - 4.0 if "x_min" in str(p) else a + 4.0,
+        v["quant_stats"])
+    out = m.apply(v, x)
+    assert out["hm"].shape == (1, 16, 16, 4)
+    assert np.all(np.isfinite(np.asarray(out["hm"], np.float32)))

@@ -94,12 +94,16 @@ def build_commands(cfg_name, opts):
                 "--lr_step", opts.lr_step,
                 "--resume", "--resume-quantize", "--wt-percentile",
                 "--act_clamp"]
+    # evals must mirror the QAT stage's weight-range mode: QAT trains
+    # with --wt-percentile, so an eval without it fake-quantizes weights
+    # against min/max ranges the model never trained under (measured on
+    # config b: 0.50 vs 0.74 AP50 — a silent 24-point haircut)
     test_fake = py + ["test.py", "ctdet", *flags,
                       "--resume", "--flip_test", "--resume-quantize",
-                      "--act_clamp"]
+                      "--wt-percentile", "--act_clamp"]
     test_int8 = py + ["test.py", "ctdet", *flags,
                       "--resume", "--flip_test", "--resume-quantize",
-                      "--act_clamp", "--int8_infer"]
+                      "--wt-percentile", "--act_clamp", "--int8_infer"]
     export = py + ["tools_tpu/export_w4a8.py", "ctdet", *flags,
                    "--resume", "--resume-quantize", "--wt-percentile",
                    "--act_clamp"]

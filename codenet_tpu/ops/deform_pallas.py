@@ -645,7 +645,45 @@ def _bwd_unroll_qmax():
     return int(os.environ.get("CODENET_UNROLL_BWD_QMAX", "1408"))
 
 
+def _bwd_unroll_stack_ok(q_cols, c):
+    """Channel-aware scoped-VMEM gate for the unrolled BACKWARD: its
+    per-tap scatter products Gt = B^T g are (q_cols, C) f32, and with the
+    9-tap loop unrolled Mosaic keeps most of them (plus dx_acc and the
+    f32 x read) live on the kernel stack at once. The q_cols gate alone
+    misses this C term: at the w2 deconv0 shape (16x16 map, C=2153,
+    512^2 train) the stack measured 17.61 MiB against the 16 MiB scoped
+    limit (v5e compile error, round 5) while q_cols was only 256. The
+    rolled loop reuses ONE Gt buffer, so its (q, C) floor is ~3 matrices
+    and it fits every model shape. Estimate ~9 live (q, Cpad) f32
+    matrices and roll past the cap (default 12 MiB, leaving headroom for
+    the (tile, q) factor temporaries); all w1 and 512^2-w1 shapes stay
+    unrolled under it (largest: deconv0 at 512^2, 9*256*1024*4 = 9.4 MB)."""
+    c_pad = -(-c // 128) * 128
+    cap = int(os.environ.get("CODENET_UNROLL_BWD_STACK_CAP",
+                             str(12 * 1024 * 1024)))
+    return 9 * q_cols * c_pad * 4 <= cap
+
+
+def _c_chunk():
+    """Channel-chunk size for very wide depthwise deforms. The kernels hold
+    (q_cols, C) and (tile, C) f32 temporaries on the Mosaic stack, so C
+    multiplies the scoped-VMEM footprint; at the w2 deconv0 train shape
+    (16x16 map, C=2153, f32) BOTH tap-loop regimes exceed the 16 MiB limit
+    (17.6 MiB measured, v5e round 5). The op is depthwise — every channel
+    is independent (s is shared but only READ) — so wide calls split into
+    ≤chunk channel slices, each compiled as its own pallas_call in its
+    normal (usually unrolled) regime: out/dx/dw concatenate, ds sums over
+    chunks. 1024 keeps the w1 deconv0 (C=1024) single-chunk/unchanged."""
+    return int(os.environ.get("CODENET_DEFORM_C_CHUNK", "1024"))
+
+
 def _forward_pallas(x, s, weight_kc, img_block=8):
+    cc = _c_chunk()
+    if x.shape[-1] > cc:
+        return jnp.concatenate(
+            [_forward_pallas(x[..., lo:lo + cc], s, weight_kc[:, lo:lo + cc],
+                             img_block)
+             for lo in range(0, x.shape[-1], cc)], axis=-1)
     n, h, w_dim, c, hw, hw_pad, tile, img_block = _plan(
         x, img_block, 2 * 1024 * 1024)
     band_rows = 0
@@ -703,9 +741,11 @@ def _bwd_pallas_call(x_flat, s_flat, g_flat, w_kc, *, h, w_dim, tile,
     q_cols = band_rows * w_dim if band_rows else x_cols
     # the unrolled backward keeps ~12 (tile, q_cols)/(q_cols, C) f32
     # temporaries live (Mosaic stack-allocates); gate it to small q_cols
-    # (default-on past that gate — measured faster on every engaging shape)
+    # AND a small q*C product (_bwd_unroll_stack_ok — w2 channel widths
+    # blow the scoped limit through C alone)
     rolled = not (_banded_unrolled_enabled()
-                  and q_cols <= _bwd_unroll_qmax())
+                  and q_cols <= _bwd_unroll_qmax()
+                  and _bwd_unroll_stack_ok(q_cols, c))
     kernel = functools.partial(_bwd_kernel, h=h, w_dim=w_dim, tile=tile,
                                img_block=img_block, rolled=rolled,
                                band_rows=band_rows)
@@ -755,6 +795,18 @@ def _banded_tile(h, w_dim, hw, budget_bytes):
 
 
 def _backward_pallas(x, s, weight_kc, g, img_block=8):
+    cc = _c_chunk()
+    if x.shape[-1] > cc:
+        dx_parts, ds_total, dw_parts = [], None, []
+        for lo in range(0, x.shape[-1], cc):
+            dx_c, ds_c, dw_c = _backward_pallas(
+                x[..., lo:lo + cc], s, weight_kc[:, lo:lo + cc],
+                g[..., lo:lo + cc], img_block)
+            dx_parts.append(dx_c)
+            dw_parts.append(dw_c)
+            ds_total = ds_c if ds_total is None else ds_total + ds_c
+        return (jnp.concatenate(dx_parts, axis=-1), ds_total,
+                jnp.concatenate(dw_parts, axis=-1))
     n, h, w_dim, c, hw, hw_pad, tile, img_block = _plan(
         x, img_block, 1024 * 1024, tile_budget_bytes=512 * 1024,
         assume_f32=True)
@@ -768,8 +820,10 @@ def _backward_pallas(x, s, weight_kc, g, img_block=8):
         # a smaller per-matrix budget to stay inside scoped VMEM; rolled
         # maps must NOT pay the halved tile (more grid steps for nothing).
         tile = _banded_tile(h, w_dim, hw, 512 * 1024)
+        band_q = _band_rows(tile, w_dim) * w_dim
         if (_banded_unrolled_enabled()
-                and _band_rows(tile, w_dim) * w_dim <= _bwd_unroll_qmax()):
+                and band_q <= _bwd_unroll_qmax()
+                and _bwd_unroll_stack_ok(band_q, c)):
             tile = _banded_tile(h, w_dim, hw, 256 * 1024)
         hw_pad = -(-hw // tile) * tile
         band_rows = _band_rows(tile, w_dim)

@@ -65,6 +65,33 @@ def test_pallas_backward_matches_xla(shape):
                                    rtol=5e-3, atol=5e-3, err_msg=name)
 
 
+def test_channel_chunked_matches_unchunked(monkeypatch):
+    """Wide-C calls split into channel chunks (depthwise independence):
+    at the w2 deconv0 train shape (C=2153, 16x16 map, f32) BOTH Mosaic
+    tap-loop regimes exceed the 16 MiB scoped-VMEM limit through the
+    (q, C) temporaries alone (17.6 MiB measured on v5e, round 5), so
+    _forward/_backward_pallas slice C at CODENET_DEFORM_C_CHUNK. Chunked
+    out/dx/dw must be bit-equal to unchunked (disjoint channel slices);
+    ds sums per-chunk f32 partials, so it only matches to summation
+    order. Chunk=8 over C=20 exercises interior + ragged-tail chunks."""
+    x, s, w = _case((8, 8, 20), seed=4)
+
+    def grads(x, s, w):
+        def f(x, s, w):
+            return jnp.sum(jnp.sin(DP.codesign_deform_conv_fast(x, s, w)))
+        return (DP.codesign_deform_conv_fast(x, s, w),
+                *jax.grad(f, argnums=(0, 1, 2))(x, s, w))
+
+    monkeypatch.setenv("CODENET_DEFORM_C_CHUNK", "9999")
+    ref = grads(x, s, w)
+    monkeypatch.setenv("CODENET_DEFORM_C_CHUNK", "8")
+    chunked = grads(x, s, w)
+    for name, a, b in zip(("out", "dx", "ds", "dw"), ref, chunked):
+        tol = 1e-5 if name == "ds" else 0.0
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=tol, atol=tol, err_msg=name)
+
+
 def test_out_of_contract_s_clamped_uniformly():
     """Op contract: s beyond the co-design reach is clamped to [-7, 8] at
     the op boundary in EVERY regime — including 32x32 maps, where the
